@@ -1,0 +1,33 @@
+"""fortran_davidson_tpu — a TPU-native block-Davidson eigensolver framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of
+NLESC-JCER/Fortran_Davidson: lowest-k eigenpairs of diagonal-dominant
+symmetric (generalized) eigenproblems via block Davidson with DPR or GJD
+corrections, over dense, sparse, or matrix-free operators, single-chip or
+sharded across a TPU mesh.
+"""
+
+from fortran_davidson_tpu.config import DavidsonOptions, DavidsonResult
+from fortran_davidson_tpu.ops.operators import (
+    DenseOperator,
+    DiagonalOperator,
+    LinearOperator,
+    MatrixFreeOperator,
+    as_operator,
+)
+from fortran_davidson_tpu.solver import eigensolve, generalized_eigensolver
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DavidsonOptions",
+    "DavidsonResult",
+    "DenseOperator",
+    "DiagonalOperator",
+    "LinearOperator",
+    "MatrixFreeOperator",
+    "as_operator",
+    "eigensolve",
+    "generalized_eigensolver",
+    "__version__",
+]

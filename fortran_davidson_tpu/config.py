@@ -1,0 +1,177 @@
+"""Solver options and results.
+
+The reference passes every knob as a positional subroutine argument
+(``src/davidson.f90:51-52``); here they are a frozen dataclass (hashable, so
+compiled engines are cached per configuration). Defaults mirror the
+reference's hidden defaults: initial subspace ``2 * lowest``
+(``src/davidson.f90:108``), maximum subspace ``10 * lowest``
+(``src/davidson.f90:115-119``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from fortran_davidson_tpu.core.correction import validate_method
+from fortran_davidson_tpu.utils.errors import InvalidOptionsError, require
+
+
+@dataclasses.dataclass(frozen=True)
+class DavidsonOptions:
+    """User-facing solver knobs.
+
+    Attributes:
+      method: correction scheme, "DPR" or "GJD" (validated; the reference
+        silently misbehaves on unknown strings, ``src/davidson.f90:653-669``).
+      max_iterations: outer-iteration cap.
+      tolerance: 2-norm residual tolerance per eigenpair.
+      max_dim_sub: maximum subspace dimension before collapse
+        (default ``10 * lowest``).
+      init_dim: initial subspace dimension (default ``2 * lowest``).
+      sticky_convergence: if True, a pair that once converged stays
+        converged (dense-engine semantics, ``src/davidson.f90:173-178``);
+        if False, all pairs are re-checked every iteration (matrix-free
+        engine semantics, ``src/davidson.f90:416``).
+      gjd_inner_iters: MINRES iteration cap for the GJD correction solve;
+        ``None`` chooses ``min(n, 128)`` (effectively exact for the small
+        parity problems, bounded for large ones).
+      gjd_inner_tol: relative residual tolerance of the inner GJD solve.
+      n_reorth: CGS passes when orthogonalizing new blocks (2 = CGS2).
+      dtype: float64 (reference parity) or float32.
+    """
+
+    method: str = "DPR"
+    max_iterations: int = 1000
+    tolerance: float = 1e-8
+    max_dim_sub: Optional[int] = None
+    init_dim: Optional[int] = None
+    sticky_convergence: bool = True
+    gjd_inner_iters: Optional[int] = None
+    gjd_inner_tol: float = 1e-12
+    n_reorth: int = 2
+    dtype: str = "float64"
+
+    def __post_init__(self):
+        validate_method(self.method)
+        require(self.max_iterations >= 1, InvalidOptionsError,
+                "max_iterations must be >= 1")
+        require(self.tolerance > 0, InvalidOptionsError, "tolerance must be > 0")
+        jnp.dtype(self.dtype)  # raises on nonsense
+
+
+@dataclasses.dataclass(frozen=True)
+class ResolvedConfig:
+    """Options resolved against a concrete problem (static under jit)."""
+
+    lowest: int
+    method: str
+    max_iterations: int
+    tolerance: float
+    max_dim: int
+    init_dim: int
+    m_max: int
+    sticky: bool
+    gjd_inner_iters: int
+    gjd_inner_tol: float
+    n_reorth: int
+    dtype: str
+    generalized: bool
+
+
+def subspace_cap(init_dim: int, max_dim: int) -> int:
+    """Largest subspace dimension the doubling schedule can reach.
+
+    The basis doubles each expansion (the correction block has as many
+    columns as the basis, ``src/davidson.f90:199``) and expansion happens
+    whenever the *current* dimension is <= max_dim
+    (``src/davidson.f90:195``), so dimensions follow
+    ``init, 2*init, 4*init, ...`` until the first value exceeding max_dim,
+    then collapse to ``init``. The padded width is that first exceeding
+    value (or init if init already exceeds max_dim).
+    """
+    cap = init_dim
+    while cap <= max_dim:
+        cap *= 2
+    return cap
+
+
+def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
+                    generalized: bool) -> ResolvedConfig:
+    require(1 <= lowest, InvalidOptionsError, "lowest must be >= 1")
+    require(lowest <= n, InvalidOptionsError,
+            f"lowest={lowest} exceeds matrix dimension {n}")
+    init_dim = opts.init_dim if opts.init_dim is not None else 2 * lowest
+    max_dim = opts.max_dim_sub if opts.max_dim_sub is not None else 10 * lowest
+    require(init_dim >= lowest, InvalidOptionsError,
+            "init_dim must be >= lowest")
+    require(init_dim <= n, InvalidOptionsError,
+            f"init_dim={init_dim} exceeds matrix dimension {n}")
+    m_max = subspace_cap(init_dim, max_dim)
+    require(m_max <= n, InvalidOptionsError,
+            f"padded subspace width {m_max} exceeds matrix dimension {n}; "
+            "reduce max_dim_sub or init_dim")
+    inner = opts.gjd_inner_iters
+    if inner is None:
+        inner = min(n, 128)
+    return ResolvedConfig(
+        lowest=lowest,
+        method=validate_method(opts.method),
+        max_iterations=opts.max_iterations,
+        tolerance=float(opts.tolerance),
+        max_dim=max_dim,
+        init_dim=init_dim,
+        m_max=m_max,
+        sticky=opts.sticky_convergence,
+        gjd_inner_iters=int(inner),
+        gjd_inner_tol=float(opts.gjd_inner_tol),
+        n_reorth=int(opts.n_reorth),
+        dtype=str(jnp.dtype(opts.dtype)),
+        generalized=generalized,
+    )
+
+
+@dataclasses.dataclass
+class DavidsonResult:
+    """Solver output.
+
+    ``iterations`` follows the reference convention: the 1-based index of
+    the iteration at which convergence was detected (``src/davidson.f90:
+    189-192``); equals ``max_iterations`` with ``converged=False`` when the
+    loop ran out (the reference prints a warning and returns
+    ``max_iterations + 1``, ``src/davidson.f90:232-235``).
+    """
+
+    eigenvalues: jnp.ndarray          # (k,)
+    eigenvectors: jnp.ndarray         # (n, k)
+    iterations: jnp.ndarray           # scalar int
+    converged: jnp.ndarray            # scalar bool
+    converged_pairs: jnp.ndarray      # (k,) bool
+    residual_norms: jnp.ndarray       # (k,)
+    residual_history: jnp.ndarray     # (max_iterations, k); NaN after exit
+    subspace_dims: jnp.ndarray        # (max_iterations,); 0 after exit
+
+    def block_until_ready(self):
+        self.eigenvalues.block_until_ready()
+        return self
+
+
+def result_flatten(res: DavidsonResult):
+    return (res.eigenvalues, res.eigenvectors, res.iterations, res.converged,
+            res.converged_pairs, res.residual_norms, res.residual_history,
+            res.subspace_dims), None
+
+
+def result_unflatten(aux, children):
+    return DavidsonResult(*children)
+
+
+import jax  # noqa: E402  (registration after class definitions)
+
+jax.tree_util.register_pytree_node(DavidsonResult, result_flatten,
+                                   result_unflatten)
+
+del np

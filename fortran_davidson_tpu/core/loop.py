@@ -1,0 +1,189 @@
+"""The block-Davidson outer loop as a jitted `lax.while_loop`.
+
+TPU-native redesign of the reference's allocating Fortran loop
+(``src/davidson.f90:138-229`` dense, ``:375-441`` matrix-free):
+
+- **Fixed shapes.** The basis lives in a padded buffer ``V in R^{n x m_max}``
+  whose active columns are a prefix tracked by an integer ``m``; padded
+  columns are identically zero. ``m_max`` is the largest dimension the
+  doubling schedule can reach (see ``config.subspace_cap``), so
+  grow/collapse are pure data movement — XLA compiles one program.
+- **Cached operator applications.** The reference re-applies the operator
+  to the whole basis every iteration (``src/davidson.f90:378-379``) or
+  recomputes the projection with full-matrix GEMMs (``:223-227``). Here
+  A@V and B@V are cached; each expansion applies the operator only to the
+  *new* orthonormal block, and collapse updates the caches with a
+  triangular solve — zero extra operator applications.
+- **Span parity.** Every transformation preserves the exact-arithmetic
+  subspace span of the reference schedule (expansion by the correction
+  block; collapse to the first ``init_dim`` Ritz vectors,
+  ``src/davidson.f90:218``), so Ritz values — and iteration counts — match
+  the reference within roundoff.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from fortran_davidson_tpu.config import DavidsonResult, ResolvedConfig
+from fortran_davidson_tpu.core import correction as corr_mod
+from fortran_davidson_tpu.core import orthogonal, subspace
+from fortran_davidson_tpu.ops.operators import LinearOperator
+
+
+def _engine(cfg: ResolvedConfig, A: LinearOperator,
+            B: Optional[LinearOperator]) -> DavidsonResult:
+    n = A.shape[0]
+    k = cfg.lowest
+    m_max = cfg.m_max
+    init_dim = cfg.init_dim
+    dt = jnp.dtype(cfg.dtype)
+    gen = B is not None
+
+    diag_a = A.diagonal().astype(dt)
+    diag_b = B.diagonal().astype(dt) if gen else jnp.ones((n,), dt)
+
+    V0 = subspace.initial_subspace(diag_a, init_dim, m_max)
+    AV0 = A.matmat(V0)
+    state = dict(
+        V=V0,
+        AV=AV0,
+        m=jnp.asarray(init_dim, jnp.int32),
+        it=jnp.asarray(0, jnp.int32),
+        has_conv=jnp.zeros((k,), bool),
+        all_conv=jnp.asarray(False),
+        evals=jnp.zeros((k,), dt),
+        evecs=jnp.zeros((n, k), dt),
+        errors=jnp.full((k,), jnp.inf, dt),
+        history=jnp.full((cfg.max_iterations, k), jnp.nan, dt),
+        dims=jnp.zeros((cfg.max_iterations,), jnp.int32),
+    )
+    if gen:
+        state["BV"] = B.matmat(V0)
+
+    def cond(st):
+        return (st["it"] < cfg.max_iterations) & ~st["all_conv"]
+
+    def body(st):
+        V, AV = st["V"], st["AV"]
+        BV = st["BV"] if gen else None
+        m = st["m"]
+        mask = orthogonal.col_mask(m, m_max, dt)
+        # Defense in depth: basis columns are unit-norm or exactly zero by
+        # construction; treat any zero column as padding so a degenerate
+        # expansion can never produce a singular projected B-Gram.
+        mask = mask * (jnp.sum(V * V, axis=0) > 0.5).astype(dt)
+
+        # Rayleigh-Ritz on the active block (masked padded eigh).
+        H = subspace.project(V, AV)
+        S = subspace.project(V, BV) if gen else None
+        w, W = subspace.ritz_decomposition(H, S, mask)
+
+        # Ritz vectors and block residuals R = (AV)W - (BV)W diag(w),
+        # computed from the caches (the reference free path does the same,
+        # ``src/davidson.f90:401-410``; the dense path's per-column DGEMVs
+        # at ``:163-170`` are equivalent in exact arithmetic).
+        X = jnp.dot(V, W, preferred_element_type=dt) * mask[None, :]
+        AXW = jnp.dot(AV, W, preferred_element_type=dt)
+        BXW = jnp.dot(BV, W, preferred_element_type=dt) if gen else X
+        R = (AXW - BXW * w[None, :]) * mask[None, :]
+
+        errors = jnp.linalg.norm(R[:, :k], axis=0)
+        conv_now = errors < cfg.tolerance
+        has_conv = (st["has_conv"] | conv_now) if cfg.sticky else conv_now
+        all_conv = jnp.all(has_conv)
+
+        it = st["it"]
+        history = st["history"].at[it].set(errors)
+        dims = st["dims"].at[it].set(m)
+
+        def no_update(_):
+            out = (V, AV, m) if not gen else (V, AV, BV, m)
+            return out
+
+        def expand(_):
+            if cfg.method == "DPR":
+                corr = corr_mod.dpr_correction(R, w, diag_a, diag_b, mask)
+            else:
+                corr = corr_mod.gjd_correction(
+                    A.matmat, B.matmat if gen else None, w, X, R, mask,
+                    cfg.gjd_inner_iters, cfg.gjd_inner_tol)
+            Q = orthogonal.orthonormalize_block(V, corr, mask,
+                                                n_reorth=cfg.n_reorth)
+            # New block columns occupy the prefix [0, m); shift them to
+            # [m, 2m) and add into the zero-padded region. 2m <= m_max is
+            # guaranteed by the doubling schedule (config.subspace_cap).
+            AQ = A.matmat(Q)
+            V2 = V + jnp.roll(Q, m, axis=1)
+            AV2 = AV + jnp.roll(AQ, m, axis=1)
+            if gen:
+                BQ = B.matmat(Q)
+                BV2 = BV + jnp.roll(BQ, m, axis=1)
+                return (V2, AV2, BV2, 2 * m)
+            return (V2, AV2, 2 * m)
+
+        def collapse(_):
+            W2 = W[:, :init_dim]
+            X2 = jnp.dot(V, W2, preferred_element_type=dt)
+            AX2 = jnp.dot(AV, W2, preferred_element_type=dt)
+            Qc, Rc = orthogonal.thin_qr_collapse(X2)
+            AQc = orthogonal.right_tri_solve(AX2, Rc)
+            Vn = jnp.zeros_like(V).at[:, :init_dim].set(Qc)
+            AVn = jnp.zeros_like(AV).at[:, :init_dim].set(AQc)
+            mn = jnp.asarray(init_dim, jnp.int32)
+            if gen:
+                BX2 = jnp.dot(BV, W2, preferred_element_type=dt)
+                BQc = orthogonal.right_tri_solve(BX2, Rc)
+                BVn = jnp.zeros_like(BV).at[:, :init_dim].set(BQc)
+                return (Vn, AVn, BVn, mn)
+            return (Vn, AVn, mn)
+
+        def step(_):
+            # Expansion iff current dim <= max_dim (``src/davidson.f90:195``).
+            return jax.lax.cond(m <= cfg.max_dim, expand, collapse, None)
+
+        new = jax.lax.cond(all_conv, no_update, step, None)
+        if gen:
+            Vn, AVn, BVn, mn = new
+        else:
+            Vn, AVn, mn = new
+
+        out = dict(
+            V=Vn, AV=AVn, m=mn, it=it + 1,
+            has_conv=has_conv, all_conv=all_conv,
+            evals=w[:k], evecs=X[:, :k], errors=errors,
+            history=history, dims=dims,
+        )
+        if gen:
+            out["BV"] = BVn
+        return out
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    return DavidsonResult(
+        eigenvalues=final["evals"],
+        eigenvectors=final["evecs"],
+        iterations=final["it"],
+        converged=final["all_conv"],
+        converged_pairs=final["has_conv"],
+        residual_norms=final["errors"],
+        residual_history=final["history"],
+        subspace_dims=final["dims"],
+    )
+
+
+_ENGINE_CACHE: dict = {}
+
+
+def get_engine(cfg: ResolvedConfig):
+    """Compiled engine for a configuration (cached; operators are traced)."""
+    fn = _ENGINE_CACHE.get(cfg)
+    if fn is None:
+        def run(A, B):
+            return _engine(cfg, A, B)
+        fn = jax.jit(run)
+        _ENGINE_CACHE[cfg] = fn
+    return fn

@@ -1,0 +1,94 @@
+"""Problem generators (test fixtures and benchmark workloads).
+
+TPU-native counterparts of the reference's fixtures:
+
+- :func:`generate_diagonal_dominant` mirrors
+  ``src/array_utils.f90:86-113``: random symmetric off-diagonal entries of
+  magnitude ``sparsity``, diagonal ``1..n`` (or a constant ``diag_val``).
+- :func:`surrogate_hamiltonian` / :func:`surrogate_overlap` replace the
+  reference's "expensive on-the-fly" analytic operators
+  (``src/tests/test_utils.f90:37-116``, ``src/benchmark_free.f90:38-76``)
+  with *separable* low-rank-plus-diagonal operators: trig off-diagonals
+  like ``cos(theta_i + theta_j)`` expand as rank-2 outer products, so the
+  matrix-free apply is O(n m) MXU work instead of the reference's O(n^2)
+  row regeneration — the same "electronic-structure surrogate" character
+  (dominant diagonal ~ orbital energies, small dense coupling) at any n,
+  including the 10M-row north-star scale.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fortran_davidson_tpu.ops.operators import MatrixFreeOperator
+from fortran_davidson_tpu.utils.dtypes import canonical_dtype
+
+
+def generate_diagonal_dominant(n: int, sparsity: float, diag_val=None,
+                               key=None, dtype=jnp.float64):
+    """Random dense symmetric diagonal-dominant matrix (test fixture)."""
+    dtype = canonical_dtype(dtype)  # enables x64 when float64 is requested
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    arr = jax.random.uniform(key, (n, n), dtype=dtype) * sparsity
+    arr = jnp.triu(arr, 1)
+    arr = arr + arr.T
+    if diag_val is None:
+        diag = jnp.arange(1, n + 1, dtype=dtype)
+    else:
+        diag = jnp.full((n,), diag_val, dtype=dtype)
+    return arr + jnp.diag(diag)
+
+
+def _rank2_trig_factors(n: int, dtype):
+    """cos(t_i + t_j) = c_i c_j - s_i s_j with slowly-varying phases."""
+    t = jnp.arange(n, dtype=dtype) * (2.0 * jnp.pi / max(n, 1)) * 0.37
+    return jnp.cos(t), jnp.sin(t)
+
+
+def low_rank_plus_diag_apply(X, diag, factors, weights):
+    """Apply diag(d) + sum_r w_r u_r u_r^T (diagonal of the low-rank part
+    removed, so `diag` is the exact operator diagonal)."""
+    # Low-rank part: U (n, r); U^T X is (r, m) — two skinny MXU matmuls.
+    U = factors  # (n, r)
+    coeff = jnp.dot(U.T, X, preferred_element_type=X.dtype)  # (r, m)
+    low = jnp.dot(U * weights[None, :], coeff,
+                  preferred_element_type=X.dtype)
+    corr = jnp.sum((U * U) * weights[None, :], axis=1)  # low-rank diagonal
+    return diag[:, None] * X + low - corr[:, None] * X
+
+
+def surrogate_hamiltonian(n: int, coupling: float = 1e-4,
+                          dtype=jnp.float64) -> MatrixFreeOperator:
+    """Matrix-free CI-matrix surrogate: A_ii = i+1,
+    A_ij = coupling * cos(t_i + t_j) for i != j."""
+    dt = canonical_dtype(dtype)
+    c, s = _rank2_trig_factors(n, dt)
+    diag = jnp.arange(1, n + 1, dtype=dt)
+    U = jnp.stack([c, s], axis=1)  # (n, 2)
+    w = jnp.asarray([coupling, -coupling], dt)
+
+    def apply(X, diag, U, w):
+        return low_rank_plus_diag_apply(X, diag, U, w)
+
+    return MatrixFreeOperator(apply, n, dtype=dt, diag=diag,
+                              captured=(diag, U, w))
+
+
+def surrogate_overlap(n: int, coupling: float = 1e-5,
+                      dtype=jnp.float64) -> MatrixFreeOperator:
+    """Matrix-free SPD overlap surrogate: B_ii = 1,
+    B_ij = coupling * sin(t_i) sin(t_j) for i != j (rank-1, tiny norm =>
+    strictly positive definite)."""
+    dt = canonical_dtype(dtype)
+    _, s = _rank2_trig_factors(n, dt)
+    diag = jnp.ones((n,), dt)
+    U = s[:, None]  # (n, 1)
+    w = jnp.asarray([coupling], dt)
+
+    def apply(X, diag, U, w):
+        return low_rank_plus_diag_apply(X, diag, U, w)
+
+    return MatrixFreeOperator(apply, n, dtype=dt, diag=diag,
+                              captured=(diag, U, w))

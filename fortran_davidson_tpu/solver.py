@@ -1,0 +1,84 @@
+"""Public solver API.
+
+Replaces the reference's generic interface ``generalized_eigensolver``
+(``src/davidson.f90:601-625``) — which dispatches on dense-matrix vs
+callable argument types at compile time — with a single function accepting
+any :class:`~fortran_davidson_tpu.ops.operators.LinearOperator` (dense
+arrays are coerced automatically). Unlike the reference:
+
+- the matrix-free path supports the *standard* problem and GJD (the
+  reference's free engine is generalized-only and DPR-only,
+  ``src/davidson.f90:277-279,428``);
+- unknown method strings raise instead of returning garbage;
+- the result carries convergence history and per-pair status.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional
+
+import jax.numpy as jnp
+
+from fortran_davidson_tpu.config import (DavidsonOptions, DavidsonResult,
+                                         resolve_options)
+from fortran_davidson_tpu.core.loop import get_engine
+from fortran_davidson_tpu.ops.operators import LinearOperator, as_operator
+from fortran_davidson_tpu.utils.dtypes import canonical_dtype
+from fortran_davidson_tpu.utils.errors import OperatorError, require
+
+
+def eigensolve(matrix, lowest: int, second_matrix=None,
+               options: Optional[DavidsonOptions] = None,
+               **overrides) -> DavidsonResult:
+    """Compute the lowest-k eigenpairs of a (generalized) symmetric problem.
+
+    Args:
+      matrix: operator A — a LinearOperator, a dense (n, n) array, or a
+        1-D diagonal.
+      lowest: number of lowest eigenpairs to compute.
+      second_matrix: optional operator B for the pencil ``A x = lambda B x``
+        (same accepted types). ``None`` selects the standard problem.
+      options: DavidsonOptions; keyword overrides are applied on top, e.g.
+        ``eigensolve(A, 3, method="GJD", tolerance=1e-6)``.
+
+    Returns:
+      DavidsonResult.
+    """
+    opts = options or DavidsonOptions()
+    if overrides:
+        opts = DavidsonOptions(**{**opts.__dict__, **overrides})
+    dt = canonical_dtype(opts.dtype)
+
+    A = as_operator(matrix, dtype=dt)
+    B = None if second_matrix is None else as_operator(second_matrix, dtype=dt)
+    require(A.shape[0] == A.shape[1], OperatorError, "A must be square")
+    if B is not None:
+        require(B.shape == A.shape, OperatorError,
+                f"B shape {B.shape} does not match A shape {A.shape}")
+
+    cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None)
+    engine = get_engine(cfg)
+    return engine(A, B)
+
+
+def generalized_eigensolver(matrix, lowest: int, method: str = "DPR",
+                            max_iterations: int = 1000,
+                            tolerance: float = 1e-8,
+                            max_dim_sub: Optional[int] = None,
+                            second_matrix=None,
+                            **overrides) -> DavidsonResult:
+    """Reference-flavored entry point (argument names follow
+    ``src/davidson.f90:51-52``). Eager: blocks on the result and emits the
+    reference's non-convergence warning (``src/davidson.f90:232-235``)."""
+    res = eigensolve(matrix, lowest, second_matrix=second_matrix,
+                     method=method, max_iterations=max_iterations,
+                     tolerance=tolerance, max_dim_sub=max_dim_sub,
+                     **overrides)
+    res.block_until_ready()
+    if not bool(res.converged):
+        warnings.warn("Davidson algorithm did not converge "
+                      f"within {max_iterations} iterations "
+                      f"(residuals: {res.residual_norms})",
+                      RuntimeWarning, stacklevel=2)
+    return res

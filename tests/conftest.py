@@ -1,0 +1,39 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so the multi-chip sharding paths
+(Mesh/shard_map) are exercised without TPU hardware; float64 is enabled to
+match the reference's all-real64 numerics (``src/numeric_kinds.f90:10``).
+Must run before the first jax import.
+"""
+
+import os
+
+# Force CPU: the surrounding environment pins JAX_PLATFORMS to the TPU
+# tunnel ('axon'), where float64 is not natively supported — parity tests
+# need real f64. Benchmarks (bench.py) run on the TPU instead.
+# NOTE: jax may already be imported by a pytest plugin before this conftest
+# runs, so setting the env var alone is not enough; jax.config.update works
+# as long as no backend has been initialized yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU; a backend was initialized before conftest")
+assert len(jax.devices()) >= 8
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,145 @@
+"""Unit tests for the numerics substrate (tier 1 of the reference's test
+strategy, cross-validated against numpy/scipy from day one — SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from fortran_davidson_tpu.core import orthogonal, subspace
+from fortran_davidson_tpu.models.generators import generate_diagonal_dominant
+from fortran_davidson_tpu.ops.operators import (
+    DenseOperator, DiagonalOperator, MatrixFreeOperator, as_operator,
+    probe_diagonal)
+
+
+def test_generate_diagonal_dominant_matches_reference_semantics():
+    A = np.asarray(generate_diagonal_dominant(50, 1e-3))
+    assert np.allclose(A, A.T)
+    assert np.allclose(np.diag(A), np.arange(1, 51))
+    off = A - np.diag(np.diag(A))
+    assert np.abs(off).max() <= 1e-3
+    B = np.asarray(generate_diagonal_dominant(50, 1e-3, diag_val=1.0,
+                                              key=jax.random.PRNGKey(7)))
+    assert np.allclose(np.diag(B), 1.0)
+
+
+def test_dense_operator_matmat():
+    A = generate_diagonal_dominant(20, 1e-2)
+    op = DenseOperator(A)
+    X = jax.random.normal(jax.random.PRNGKey(0), (20, 4), dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(op.matmat(X)),
+                               np.asarray(A) @ np.asarray(X), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.diagonal()),
+                               np.diag(np.asarray(A)))
+
+
+def test_diagonal_operator():
+    d = jnp.arange(1.0, 11.0)
+    op = DiagonalOperator(d)
+    X = jnp.ones((10, 3), jnp.float64)
+    np.testing.assert_allclose(np.asarray(op.matmat(X)),
+                               np.asarray(d)[:, None] * np.ones((10, 3)))
+
+
+@pytest.mark.parametrize("n", [64, 100, 130])
+def test_probe_diagonal(n):
+    A = generate_diagonal_dominant(n, 1e-2)
+    diag = probe_diagonal(lambda X: A @ X, n, jnp.float64, block=64)
+    np.testing.assert_allclose(np.asarray(diag), np.diag(np.asarray(A)),
+                               rtol=1e-12)
+
+
+def test_matrix_free_operator_diag_fallback():
+    A = generate_diagonal_dominant(30, 1e-3)
+    op = MatrixFreeOperator(lambda X: A @ X, 30)
+    np.testing.assert_allclose(np.asarray(op.diagonal()),
+                               np.diag(np.asarray(A)), rtol=1e-12)
+
+
+def test_as_operator_coercion():
+    assert isinstance(as_operator(np.eye(4)), DenseOperator)
+    assert isinstance(as_operator(np.ones(4)), DiagonalOperator)
+    op = DenseOperator(jnp.eye(3))
+    assert as_operator(op) is op
+
+
+def test_initial_subspace_matches_reference_preconditioner():
+    # Reference: column i = e_{p_i}, p_i = index of i-th smallest diagonal
+    # entry (src/array_utils.f90:136-160).
+    diag = jnp.asarray([5.0, 1.0, 3.0, 2.0, 4.0])
+    V = np.asarray(subspace.initial_subspace(diag, 3, 4))
+    assert V.shape == (5, 4)
+    expected = np.zeros((5, 4))
+    expected[1, 0] = 1.0  # smallest diag entry at index 1
+    expected[3, 1] = 1.0
+    expected[2, 2] = 1.0
+    np.testing.assert_allclose(V, expected)
+
+
+def test_masked_eigh_matches_unpadded():
+    n, m, m_max = 40, 5, 8
+    A = np.asarray(generate_diagonal_dominant(n, 1e-2))
+    Vfull = np.linalg.qr(np.random.default_rng(0).normal(size=(n, m)))[0]
+    V = np.zeros((n, m_max))
+    V[:, :m] = Vfull
+    H = jnp.asarray(V.T @ A @ V)
+    mask = (jnp.arange(m_max) < m).astype(jnp.float64)
+    w, W = subspace.masked_eigh(H, mask)
+    w_ref = np.linalg.eigvalsh(Vfull.T @ A @ Vfull)
+    np.testing.assert_allclose(np.asarray(w[:m]), w_ref, rtol=1e-12)
+    # Active eigenvectors live entirely in the active block.
+    assert np.abs(np.asarray(W)[m:, :m]).max() < 1e-10
+
+
+def test_masked_generalized_eigh_matches_scipy():
+    n, m, m_max = 40, 6, 8
+    rng = np.random.default_rng(1)
+    A = np.asarray(generate_diagonal_dominant(n, 1e-2))
+    B = np.asarray(generate_diagonal_dominant(n, 1e-3, diag_val=1.0,
+                                              key=jax.random.PRNGKey(3)))
+    Vfull = np.linalg.qr(rng.normal(size=(n, m)))[0]
+    V = np.zeros((n, m_max))
+    V[:, :m] = Vfull
+    H = jnp.asarray(V.T @ A @ V)
+    S = jnp.asarray(V.T @ B @ V)
+    mask = (jnp.arange(m_max) < m).astype(jnp.float64)
+    w, W = subspace.masked_generalized_eigh(H, S, mask)
+    w_ref, W_ref = scipy.linalg.eigh(np.asarray(H)[:m, :m],
+                                     np.asarray(S)[:m, :m])
+    np.testing.assert_allclose(np.asarray(w[:m]), w_ref, rtol=1e-10)
+    # B-orthonormality, like DSYGV.
+    WS = np.asarray(W)[:m, :m]
+    np.testing.assert_allclose(WS.T @ np.asarray(S)[:m, :m] @ WS, np.eye(m),
+                               atol=1e-10)
+
+
+def test_orthonormalize_block():
+    n, m, b, m_max = 50, 4, 4, 8
+    rng = np.random.default_rng(2)
+    V = np.zeros((n, m_max))
+    V[:, :m] = np.linalg.qr(rng.normal(size=(n, m)))[0]
+    C = np.zeros((n, m_max))
+    C[:, :b] = rng.normal(size=(n, b))
+    mask = (jnp.arange(m_max) < b).astype(jnp.float64)
+    Q = np.asarray(orthogonal.orthonormalize_block(jnp.asarray(V),
+                                                   jnp.asarray(C), mask))
+    # Masked columns exactly zero.
+    assert np.all(Q[:, b:] == 0)
+    # Orthonormal and orthogonal to V.
+    np.testing.assert_allclose(Q[:, :b].T @ Q[:, :b], np.eye(b), atol=1e-12)
+    assert np.abs(V[:, :m].T @ Q[:, :b]).max() < 1e-12
+    # Same span as the projected block.
+    P = np.eye(n) - V[:, :m] @ V[:, :m].T
+    C_perp = P @ C[:, :b]
+    resid = C_perp - Q[:, :b] @ (Q[:, :b].T @ C_perp)
+    assert np.abs(resid).max() < 1e-10
+
+
+def test_right_tri_solve():
+    rng = np.random.default_rng(3)
+    Y = rng.normal(size=(20, 5))
+    R = np.triu(rng.normal(size=(5, 5))) + 5 * np.eye(5)
+    X = np.asarray(orthogonal.right_tri_solve(jnp.asarray(Y), jnp.asarray(R)))
+    np.testing.assert_allclose(X @ R, Y, atol=1e-12)
