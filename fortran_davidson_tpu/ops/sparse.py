@@ -1,0 +1,388 @@
+"""Sparse operators in TPU-friendly layouts.
+
+The reference has no sparse formats at all — its only "large operator"
+story is the matrix-free callable that regenerates full rows on the fly
+(``src/davidson.f90:526-569``). A TPU framework needs real sparse storage,
+but classic CSR (variable-length rows, data-dependent loop trip counts) is
+hostile to XLA's static-shape compilation model. We therefore use two
+*padded, fixed-shape* layouts:
+
+- **ELL** (``ELLOperator``): every row stores exactly ``L`` (column, value)
+  slots, padded with ``value = 0`` pointing at the row's own index. The
+  SpMM is a chunked gather + einsum — dense, static-shape work that XLA
+  maps onto the VPU/MXU, with the chunk size bounding peak memory. This is
+  the CSR equivalent for unstructured ~k-nnz/row matrices (BASELINE
+  config 3).
+- **BSR** (``BSROperator``): block rows store exactly ``K`` dense
+  ``bs x bs`` blocks (block-ELL). The SpMM gathers ``bs x m`` slices of
+  the input block and contracts them against the stored blocks in one
+  batched MXU einsum; with ``bs`` a multiple of 8 (ideally 128) every
+  contraction is a native MXU tile. This is the format for the 10M-row
+  north-star workload and the row-sharded distributed path. An optional
+  Pallas kernel (``fortran_davidson_tpu.ops.pallas_kernels``) streams the
+  gathered blocks through VMEM with scalar-prefetched indices.
+
+Both operators are pytrees, so they flow through ``jit`` / ``shard_map``
+unchanged. Constructors do their index surgery host-side in numpy — that
+is one-time setup, not solver work.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fortran_davidson_tpu.ops.operators import LinearOperator
+from fortran_davidson_tpu.utils.errors import OperatorError, require
+
+
+def _ell_from_coo_np(rows, cols, vals, n, pad_width: Optional[int] = None):
+    """Host-side COO -> padded ELL conversion (duplicates are summed)."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals)
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    # Sum duplicates.
+    if len(rows):
+        key = rows * n + cols
+        uniq, inv = np.unique(key, return_inverse=True)
+        summed = np.zeros(len(uniq), vals.dtype)
+        np.add.at(summed, inv, vals)
+        rows, cols, vals = uniq // n, uniq % n, summed
+    counts = np.bincount(rows, minlength=n)
+    L = int(counts.max()) if len(rows) else 1
+    if pad_width is not None:
+        require(pad_width >= L, OperatorError,
+                f"pad_width={pad_width} < max row nnz {L}")
+        L = pad_width
+    L = max(L, 1)
+    # Slot position of each entry within its row.
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(len(rows)) - starts[rows]
+    indices = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, L))
+    values = np.zeros((n, L), vals.dtype)
+    indices[rows, slot] = cols
+    values[rows, slot] = vals
+    return indices.astype(np.int32), values
+
+
+@jax.tree_util.register_pytree_node_class
+class ELLOperator(LinearOperator):
+    """Padded-row (ELLPACK) sparse symmetric operator.
+
+    Stores the *full* symmetric pattern (both triangles), ``indices`` and
+    ``values`` of static shape ``(n, L)``; padded slots hold
+    ``(row_index, 0.0)`` so they contribute nothing and every gather index
+    stays in range (and shard-local under row sharding).
+
+    ``chunk`` bounds the temporary gather buffer: the SpMM materializes at
+    most ``(n, chunk, m)`` at a time.
+    """
+
+    def __init__(self, indices, values, chunk: int = 8):
+        indices = jnp.asarray(indices, jnp.int32)
+        values = jnp.asarray(values)
+        require(indices.shape == values.shape and indices.ndim == 2,
+                OperatorError,
+                f"ELL needs matching (n, L) indices/values, got "
+                f"{indices.shape} / {values.shape}")
+        self.indices = indices
+        self.values = values
+        self.chunk = int(chunk)
+
+    # -- constructors ---------------------------------------------------
+    @classmethod
+    def from_coo(cls, rows, cols, vals, n: int, dtype=jnp.float64,
+                 pad_width: Optional[int] = None, chunk: int = 8):
+        idx, val = _ell_from_coo_np(np.asarray(rows), np.asarray(cols),
+                                    np.asarray(vals, jnp.dtype(dtype)), n,
+                                    pad_width)
+        return cls(idx, val, chunk=chunk)
+
+    @classmethod
+    def from_csr(cls, indptr, indices, data, dtype=jnp.float64,
+                 pad_width: Optional[int] = None, chunk: int = 8):
+        indptr = np.asarray(indptr, np.int64)
+        n = len(indptr) - 1
+        rows = np.repeat(np.arange(n), np.diff(indptr))
+        return cls.from_coo(rows, indices, np.asarray(data, jnp.dtype(dtype)),
+                            n, dtype=dtype, pad_width=pad_width, chunk=chunk)
+
+    @classmethod
+    def from_dense(cls, matrix, tol: float = 0.0, chunk: int = 8):
+        m = np.asarray(matrix)
+        rows, cols = np.nonzero(np.abs(m) > tol)
+        return cls.from_coo(rows, cols, m[rows, cols], m.shape[0],
+                            dtype=m.dtype, chunk=chunk)
+
+    # -- LinearOperator -------------------------------------------------
+    @property
+    def shape(self):
+        return (self.indices.shape[0], self.indices.shape[0])
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def nnz_per_row(self) -> int:
+        return self.indices.shape[1]
+
+    def matmat(self, block):
+        n, L = self.indices.shape
+        m = block.shape[1]
+        dt = block.dtype
+        c = max(1, min(self.chunk, L))
+        nfull, rem = divmod(L, c)
+
+        def piece(idx, val):
+            gathered = jnp.take(block, idx, axis=0)       # (n, c, m)
+            return jnp.einsum("nl,nlm->nm", val.astype(dt), gathered)
+
+        out = jnp.zeros((n, m), dt)
+        if nfull:
+            idx3 = self.indices[:, : nfull * c].reshape(n, nfull, c)
+            val3 = self.values[:, : nfull * c].reshape(n, nfull, c)
+
+            def body(i, acc):
+                idx = jax.lax.dynamic_index_in_dim(idx3, i, 1, keepdims=False)
+                val = jax.lax.dynamic_index_in_dim(val3, i, 1, keepdims=False)
+                return acc + piece(idx, val)
+
+            out = jax.lax.fori_loop(0, nfull, body, out)
+        if rem:
+            out = out + piece(self.indices[:, nfull * c:],
+                              self.values[:, nfull * c:])
+        return out
+
+    def diagonal(self):
+        n = self.indices.shape[0]
+        on_diag = self.indices == jnp.arange(n, dtype=jnp.int32)[:, None]
+        return jnp.sum(jnp.where(on_diag, self.values, 0), axis=1)
+
+    def to_dense(self):
+        n, L = self.indices.shape
+        dense = jnp.zeros((n, n), self.dtype)
+        rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, L))
+        return dense.at[rows, self.indices].add(self.values)
+
+    # -- pytree ----------------------------------------------------------
+    def tree_flatten(self):
+        return (self.indices, self.values), (self.chunk,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.indices, obj.values = children
+        (obj.chunk,) = aux
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class BSROperator(LinearOperator):
+    """Block-ELL sparse symmetric operator (dense ``bs x bs`` blocks).
+
+    ``block_cols``: (nbr, K) int32 — block-column index of each stored
+    block (padded slots point at the row's own block index).
+    ``blocks``: (nbr, K, bs, bs) — dense blocks (padded slots zero).
+
+    SpMM = gather ``K`` input slices per block row + one batched MXU
+    einsum; with ``bs`` >= 8 (f32) the contraction tiles natively onto the
+    MXU. ``backend='pallas'`` routes through the Pallas streaming kernel
+    (TPU only; XLA gather path is the portable default).
+    """
+
+    def __init__(self, block_cols, blocks, backend: str = "xla"):
+        block_cols = jnp.asarray(block_cols, jnp.int32)
+        blocks = jnp.asarray(blocks)
+        require(blocks.ndim == 4 and block_cols.ndim == 2
+                and blocks.shape[:2] == block_cols.shape
+                and blocks.shape[2] == blocks.shape[3],
+                OperatorError,
+                f"BSR needs (nbr, K) block_cols and (nbr, K, bs, bs) blocks, "
+                f"got {block_cols.shape} / {blocks.shape}")
+        require(backend in ("xla", "pallas"), OperatorError,
+                f"unknown BSR backend {backend!r}")
+        self.block_cols = block_cols
+        self.blocks = blocks
+        self.backend = backend
+
+    # -- constructors ---------------------------------------------------
+    @classmethod
+    def from_block_coo(cls, brows, bcols, block_vals, n_block_rows: int,
+                       pad_width: Optional[int] = None, backend="xla"):
+        """Build from block-COO (host-side): ``block_vals[i]`` is the dense
+        block at block position ``(brows[i], bcols[i])``."""
+        brows = np.asarray(brows, np.int64)
+        bcols = np.asarray(bcols, np.int64)
+        block_vals = np.asarray(block_vals)
+        bs = block_vals.shape[-1]
+        nbr = n_block_rows
+        order = np.lexsort((bcols, brows))
+        brows, bcols, block_vals = brows[order], bcols[order], block_vals[order]
+        counts = np.bincount(brows, minlength=nbr)
+        K = int(counts.max()) if len(brows) else 1
+        if pad_width is not None:
+            require(pad_width >= K, OperatorError,
+                    f"pad_width={pad_width} < max blocks/row {K}")
+            K = pad_width
+        K = max(K, 1)
+        starts = np.zeros(nbr + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slot = np.arange(len(brows)) - starts[brows]
+        cols = np.tile(np.arange(nbr, dtype=np.int64)[:, None], (1, K))
+        vals = np.zeros((nbr, K, bs, bs), block_vals.dtype)
+        cols[brows, slot] = bcols
+        vals[brows, slot] = block_vals
+        return cls(cols.astype(np.int32), vals, backend=backend)
+
+    @classmethod
+    def from_dense(cls, matrix, bs: int, tol: float = 0.0, backend="xla"):
+        m = np.asarray(matrix)
+        n = m.shape[0]
+        require(n % bs == 0, OperatorError,
+                f"matrix dim {n} not divisible by block size {bs}")
+        nbr = n // bs
+        t = m.reshape(nbr, bs, nbr, bs).transpose(0, 2, 1, 3)
+        nz = np.abs(t).max(axis=(2, 3)) > tol
+        brows, bcols = np.nonzero(nz)
+        return cls.from_block_coo(brows, bcols, t[brows, bcols], nbr,
+                                  backend=backend)
+
+    # -- LinearOperator -------------------------------------------------
+    @property
+    def block_size(self) -> int:
+        return self.blocks.shape[-1]
+
+    @property
+    def n_block_rows(self) -> int:
+        return self.blocks.shape[0]
+
+    @property
+    def blocks_per_row(self) -> int:
+        return self.blocks.shape[1]
+
+    @property
+    def shape(self):
+        n = self.n_block_rows * self.block_size
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    def matmat(self, block):
+        if self.backend == "pallas":
+            from fortran_davidson_tpu.ops.pallas_kernels import bsr_spmm
+            return bsr_spmm(self.block_cols, self.blocks, block)
+        nbr, K, bs, _ = self.blocks.shape
+        m = block.shape[1]
+        xb = block.reshape(nbr, bs, m)
+        gathered = jnp.take(xb, self.block_cols, axis=0)   # (nbr, K, bs, m)
+        out = jnp.einsum("rkab,rkbm->ram", self.blocks.astype(block.dtype),
+                         gathered, preferred_element_type=block.dtype)
+        return out.reshape(nbr * bs, m)
+
+    def diagonal(self):
+        nbr, K, bs, _ = self.blocks.shape
+        own = self.block_cols == jnp.arange(nbr, dtype=jnp.int32)[:, None]
+        diag_blocks = jnp.sum(
+            jnp.where(own[:, :, None, None], self.blocks, 0), axis=1)
+        return jnp.diagonal(diag_blocks, axis1=1, axis2=2).reshape(-1)
+
+    def to_dense(self):
+        nbr, K, bs, _ = self.blocks.shape
+        n = nbr * bs
+        dense = jnp.zeros((nbr, nbr, bs, bs), self.dtype)
+        rows = jnp.broadcast_to(jnp.arange(nbr)[:, None], (nbr, K))
+        dense = dense.at[rows, self.block_cols].add(self.blocks)
+        return dense.transpose(0, 2, 1, 3).reshape(n, n)
+
+    def with_backend(self, backend: str) -> "BSROperator":
+        return BSROperator(self.block_cols, self.blocks, backend=backend)
+
+    # -- pytree ----------------------------------------------------------
+    def tree_flatten(self):
+        return (self.block_cols, self.blocks), (self.backend,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.block_cols, obj.blocks = children
+        (obj.backend,) = aux
+        return obj
+
+
+def generate_sparse_diagonal_dominant(n: int, nnz_per_row: int,
+                                      sparsity: float = 1e-3,
+                                      seed: int = 0, dtype=jnp.float64,
+                                      chunk: int = 8) -> ELLOperator:
+    """Random sparse symmetric diagonal-dominant matrix in ELL form.
+
+    The sparse sibling of the reference fixture
+    (``src/array_utils.f90:86-113``): diagonal ``1..n``, ~``nnz_per_row``
+    off-diagonal entries per row of magnitude ~``sparsity``, symmetric.
+    Host-side numpy construction (one-time setup).
+    """
+    rng = np.random.default_rng(seed)
+    # Sample i<j pairs; each row contributes ~nnz_per_row/2 upper entries,
+    # symmetrization brings the expected row count to ~nnz_per_row.
+    n_pairs = max(n * max(nnz_per_row - 1, 0) // 2, 0)
+    dt = np.dtype(jnp.dtype(dtype).name)
+    if n_pairs and n > 1:
+        i = rng.integers(0, n - 1, n_pairs)
+        j = rng.integers(i + 1, n)
+        v = (rng.random(n_pairs).astype(dt)) * sparsity
+        rows = np.concatenate([i, j, np.arange(n)])
+        cols = np.concatenate([j, i, np.arange(n)])
+        vals = np.concatenate([v, v, np.arange(1, n + 1, dtype=dt)])
+    else:
+        rows = cols = np.arange(n)
+        vals = np.arange(1, n + 1, dtype=dt)
+    return ELLOperator.from_coo(rows, cols, vals, n, dtype=dtype, chunk=chunk)
+
+
+def generate_banded_bsr(n_block_rows: int, bs: int, bandwidth: int = 1,
+                        coupling: float = 1e-3, seed: int = 0,
+                        dtype=jnp.float64, backend="xla") -> BSROperator:
+    """Banded block-sparse symmetric diagonal-dominant matrix.
+
+    Block-tridiagonal-style fixture for the BSR / halo-exchange paths
+    (north-star workload shape): dense diagonal blocks with dominant
+    diagonal ``1..n``, small random coupling blocks within ``bandwidth``
+    block-diagonals on each side.
+    """
+    rng = np.random.default_rng(seed)
+    dt = np.dtype(jnp.dtype(dtype).name)
+    nbr = n_block_rows
+    brows, bcols, bvals = [], [], []
+    # Off-diagonal bands (upper), mirrored for symmetry.
+    for d in range(1, bandwidth + 1):
+        cnt = nbr - d
+        if cnt <= 0:
+            continue
+        blocks = (rng.random((cnt, bs, bs)).astype(dt) - 0.5) * coupling
+        r = np.arange(cnt)
+        brows.append(r)
+        bcols.append(r + d)
+        bvals.append(blocks)
+        brows.append(r + d)
+        bcols.append(r)
+        bvals.append(blocks.transpose(0, 2, 1))
+    # Diagonal blocks: symmetric small coupling + dominant diagonal.
+    dblocks = (rng.random((nbr, bs, bs)).astype(dt) - 0.5) * coupling
+    dblocks = dblocks + dblocks.transpose(0, 2, 1)
+    diag = np.arange(1, nbr * bs + 1, dtype=dt).reshape(nbr, bs)
+    idx = np.arange(bs)
+    dblocks[:, idx, idx] = diag
+    brows.append(np.arange(nbr))
+    bcols.append(np.arange(nbr))
+    bvals.append(dblocks)
+    return BSROperator.from_block_coo(
+        np.concatenate(brows), np.concatenate(bcols), np.concatenate(bvals),
+        nbr, backend=backend)
