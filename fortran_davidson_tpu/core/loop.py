@@ -35,7 +35,8 @@ from fortran_davidson_tpu.ops.operators import LinearOperator
 
 
 def _engine(cfg: ResolvedConfig, A: LinearOperator,
-            B: Optional[LinearOperator]) -> DavidsonResult:
+            B: Optional[LinearOperator],
+            constrain=None) -> DavidsonResult:
     n = A.shape[0]
     k = cfg.lowest
     m_max = cfg.m_max
@@ -63,6 +64,8 @@ def _engine(cfg: ResolvedConfig, A: LinearOperator,
     )
     if gen:
         state["BV"] = B.matmat(V0)
+    if constrain is not None:
+        state = constrain(state)
 
     def cond(st):
         return (st["it"] < cfg.max_iterations) & ~st["all_conv"]
@@ -159,6 +162,8 @@ def _engine(cfg: ResolvedConfig, A: LinearOperator,
         )
         if gen:
             out["BV"] = BVn
+        if constrain is not None:
+            out = constrain(out)
         return out
 
     final = jax.lax.while_loop(cond, body, state)
@@ -178,12 +183,20 @@ def _engine(cfg: ResolvedConfig, A: LinearOperator,
 _ENGINE_CACHE: dict = {}
 
 
-def get_engine(cfg: ResolvedConfig):
-    """Compiled engine for a configuration (cached; operators are traced)."""
-    fn = _ENGINE_CACHE.get(cfg)
+def get_engine(cfg: ResolvedConfig, constrain=None):
+    """Compiled engine for a configuration (cached; operators are traced).
+
+    ``constrain`` is an optional hashable callable applied to the loop
+    state at initialization and after every body step — the distributed
+    layer uses it to pin ``jax.sharding`` layouts (row-sharded V/AV/BV)
+    so GSPMD's fixed-point propagation cannot silently replicate the tall
+    arrays (see ``fortran_davidson_tpu.parallel.sharded``).
+    """
+    key = (cfg, constrain)
+    fn = _ENGINE_CACHE.get(key)
     if fn is None:
         def run(A, B):
-            return _engine(cfg, A, B)
+            return _engine(cfg, A, B, constrain=constrain)
         fn = jax.jit(run)
-        _ENGINE_CACHE[cfg] = fn
+        _ENGINE_CACHE[key] = fn
     return fn

@@ -1,0 +1,153 @@
+"""Banded-BSR operator with explicit halo exchange (`shard_map` + ppermute).
+
+The north-star workload is a 10M-row banded block-sparse matrix
+row-partitioned over a pod slice. For that structure the generic sharded
+gather (``parallel.sharded``) would all-gather the full ``(n, m)`` input
+block even though each device only needs ``bandwidth * bs`` boundary rows
+from each neighbor. This module is the explicit-collective alternative:
+
+- each device owns a contiguous slab of block rows (operator tables and
+  basis rows sharded identically);
+- the SpMM under :func:`jax.shard_map` sends only the boundary slabs to
+  the two ring neighbors with ``ppermute`` (ICI neighbor traffic — no
+  all-gather), and
+- the *interior* contraction (block columns the device already owns) has
+  no data dependence on the ppermutes, so XLA overlaps the neighbor
+  transfer with the bulk of the MXU work — the structural cousin of
+  ring-attention-style compute/communication overlap.
+
+The reference's entire analogue is the OpenMP row loop at
+``src/davidson.f90:559-567``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from fortran_davidson_tpu.ops.operators import LinearOperator
+from fortran_davidson_tpu.ops.sparse import BSROperator
+from fortran_davidson_tpu.parallel.mesh import ROWS_AXIS, row_sharding
+from fortran_davidson_tpu.utils.errors import OperatorError, require
+
+
+@jax.tree_util.register_pytree_node_class
+class HaloBSROperator(LinearOperator):
+    """Banded block-ELL operator applied with ring halo exchange.
+
+    ``block_cols``/``blocks`` are the global block-ELL tables of
+    :class:`~fortran_davidson_tpu.ops.sparse.BSROperator`, restricted to a
+    band: every stored block's column must lie within ``bandwidth`` block
+    rows of its own block row. Arrays are placed row-sharded on ``mesh``.
+    """
+
+    def __init__(self, block_cols, blocks, bandwidth: int, mesh: Mesh,
+                 axis: str = ROWS_AXIS, _placed: bool = False):
+        nbr, K = block_cols.shape[:2]
+        ndev = mesh.shape[axis]
+        require(nbr % ndev == 0, OperatorError,
+                f"{nbr} block rows not divisible by {ndev} devices")
+        nbr_local = nbr // ndev
+        require(bandwidth <= nbr_local, OperatorError,
+                f"bandwidth {bandwidth} exceeds local slab {nbr_local} — "
+                "halo exchange only reaches ring neighbors")
+        if not _placed:
+            block_cols = jax.device_put(
+                jnp.asarray(block_cols, jnp.int32),
+                row_sharding(mesh, 2, axis))
+            blocks = jax.device_put(jnp.asarray(blocks),
+                                    row_sharding(mesh, 4, axis))
+        self.block_cols = block_cols
+        self.blocks = blocks
+        self.bandwidth = int(bandwidth)
+        self.mesh = mesh
+        self.axis = axis
+
+    @classmethod
+    def from_bsr(cls, op: BSROperator, bandwidth: int, mesh: Mesh,
+                 axis: str = ROWS_AXIS) -> "HaloBSROperator":
+        return cls(op.block_cols, op.blocks, bandwidth, mesh, axis)
+
+    # -- LinearOperator -------------------------------------------------
+    @property
+    def block_size(self) -> int:
+        return self.blocks.shape[-1]
+
+    @property
+    def shape(self):
+        n = self.blocks.shape[0] * self.block_size
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    def matmat(self, block):
+        nbr, K, bs, _ = self.blocks.shape
+        ndev = self.mesh.shape[self.axis]
+        nbr_l = nbr // ndev
+        bw = self.bandwidth
+        axis = self.axis
+
+        fwd = [(d, (d + 1) % ndev) for d in range(ndev)]
+        bwd = [(d, (d - 1) % ndev) for d in range(ndev)]
+
+        def local_spmm(cols, blks, x):
+            # cols: (nbr_l, K) global block-column ids; x: (nbr_l*bs, m).
+            i = jax.lax.axis_index(axis)
+            m = x.shape[1]
+            halo = bw * bs
+            # Ring halo exchange: predecessor's bottom slab and successor's
+            # top slab. Wrap-around slabs at the ring ends are never
+            # referenced (band structure) — their contributions are masked.
+            from_prev = jax.lax.ppermute(x[-halo:], axis, fwd)
+            from_next = jax.lax.ppermute(x[:halo], axis, bwd)
+
+            xb = x.reshape(nbr_l, bs, m)
+            local_idx = cols - i * nbr_l                # in [-bw, nbr_l + bw)
+            is_local = (local_idx >= 0) & (local_idx < nbr_l)
+
+            # Interior contraction — independent of the ppermutes, so XLA
+            # overlaps it with the neighbor transfers.
+            gi = jnp.take(xb, jnp.clip(local_idx, 0, nbr_l - 1), axis=0)
+            gi = gi * is_local[:, :, None, None].astype(x.dtype)
+            out = jnp.einsum("rkab,rkbm->ram", blks.astype(x.dtype), gi,
+                             preferred_element_type=x.dtype)
+
+            # Halo contraction over the 2*bw received boundary blocks.
+            xh = jnp.concatenate([from_prev, from_next]).reshape(
+                2 * bw, bs, m)
+            halo_idx = jnp.where(local_idx < 0, local_idx + bw,
+                                 local_idx - nbr_l + bw)
+            gh = jnp.take(xh, jnp.clip(halo_idx, 0, 2 * bw - 1), axis=0)
+            gh = gh * (~is_local)[:, :, None, None].astype(x.dtype)
+            out = out + jnp.einsum("rkab,rkbm->ram", blks.astype(x.dtype),
+                                   gh, preferred_element_type=x.dtype)
+            return out.reshape(nbr_l * bs, m)
+
+        spec2 = P(axis, None)
+        return jax.shard_map(
+            local_spmm, mesh=self.mesh,
+            in_specs=(spec2, P(axis, None, None, None), spec2),
+            out_specs=spec2,
+        )(self.block_cols, self.blocks, block)
+
+    def diagonal(self):
+        nbr, K, bs, _ = self.blocks.shape
+        own = self.block_cols == jnp.arange(nbr, dtype=jnp.int32)[:, None]
+        diag_blocks = jnp.sum(
+            jnp.where(own[:, :, None, None], self.blocks, 0), axis=1)
+        return jnp.diagonal(diag_blocks, axis1=1, axis2=2).reshape(-1)
+
+    # -- pytree ----------------------------------------------------------
+    def tree_flatten(self):
+        return ((self.block_cols, self.blocks),
+                (self.bandwidth, self.mesh, self.axis))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.block_cols, obj.blocks = children
+        obj.bandwidth, obj.mesh, obj.axis = aux
+        return obj

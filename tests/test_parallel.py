@@ -1,0 +1,133 @@
+"""Distributed layer: row-sharded solves and halo-exchange SpMM on the
+8-device CPU mesh (conftest forces ``xla_force_host_platform_device_count``).
+
+The reference has nothing distributed to compare against; the oracle is the
+single-device engine plus scipy — sharded math must be bit-compatible up to
+reduction-order roundoff.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+import fortran_davidson_tpu as fdt
+from fortran_davidson_tpu.models.generators import (generate_diagonal_dominant,
+                                                    surrogate_hamiltonian)
+from fortran_davidson_tpu.ops.sparse import (generate_banded_bsr,
+                                             generate_sparse_diagonal_dominant)
+from fortran_davidson_tpu.parallel import (HaloBSROperator, default_mesh,
+                                           eigensolve_sharded, shard_operator)
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return default_mesh(8)
+
+
+class TestShardedDense:
+    def test_matches_single_device(self, mesh):
+        n, k = 64, 3
+        A = generate_diagonal_dominant(n, 1e-3)
+        ref = fdt.eigensolve(A, k, tolerance=1e-8)
+        res = eigensolve_sharded(A, k, mesh, tolerance=1e-8)
+        res.block_until_ready()
+        assert bool(res.converged)
+        assert int(res.iterations) == int(ref.iterations)
+        np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                                   np.asarray(ref.eigenvalues), atol=1e-10)
+
+    def test_generalized_sharded(self, mesh):
+        n, k = 64, 2
+        A = generate_diagonal_dominant(n, 1e-3)
+        B = generate_diagonal_dominant(n, 1e-3, diag_val=1.0)
+        res = eigensolve_sharded(A, k, mesh, second_matrix=B, tolerance=1e-8)
+        res.block_until_ready()
+        assert bool(res.converged)
+        expected = scipy.linalg.eigh(np.asarray(A), np.asarray(B),
+                                     eigvals_only=True)[:k]
+        np.testing.assert_allclose(np.asarray(res.eigenvalues), expected,
+                                   atol=1e-8)
+
+    def test_state_actually_sharded(self, mesh):
+        """The tall eigenvector output must come back row-sharded."""
+        n = 64
+        A = generate_diagonal_dominant(n, 1e-3)
+        res = eigensolve_sharded(A, 3, mesh, tolerance=1e-8)
+        sharding = res.eigenvectors.sharding
+        assert isinstance(sharding, NamedSharding)
+        assert sharding.spec[0] == "rows"
+
+    def test_gjd_sharded(self, mesh):
+        n, k = 64, 3
+        A = generate_diagonal_dominant(n, 1e-3)
+        ref = fdt.eigensolve(A, k, method="GJD", tolerance=1e-8)
+        res = eigensolve_sharded(A, k, mesh, method="GJD", tolerance=1e-8)
+        res.block_until_ready()
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                                   np.asarray(ref.eigenvalues), atol=1e-9)
+
+
+class TestShardedSparse:
+    def test_ell_sharded(self, mesh):
+        op = generate_sparse_diagonal_dominant(512, 9, seed=11)
+        ref = fdt.eigensolve(op, 4, tolerance=1e-8)
+        res = eigensolve_sharded(op, 4, mesh, tolerance=1e-8)
+        res.block_until_ready()
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                                   np.asarray(ref.eigenvalues), atol=1e-10)
+
+    def test_matrix_free_sharded(self, mesh):
+        op = surrogate_hamiltonian(512)
+        ref = fdt.eigensolve(op, 3, tolerance=1e-8)
+        res = eigensolve_sharded(op, 3, mesh, tolerance=1e-8)
+        res.block_until_ready()
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                                   np.asarray(ref.eigenvalues), atol=1e-10)
+
+
+class TestHaloBSR:
+    def test_spmm_matches_dense(self, mesh, rng):
+        bsr = generate_banded_bsr(16, 8, bandwidth=2, seed=3)
+        op = HaloBSROperator.from_bsr(bsr, bandwidth=2, mesh=mesh)
+        n = op.shape[0]
+        X = jnp.asarray(rng.standard_normal((n, 6)))
+        X = jax.device_put(X, NamedSharding(mesh, P("rows", None)))
+        expected = np.asarray(bsr.to_dense()) @ np.asarray(X)
+        np.testing.assert_allclose(np.asarray(op.matmat(X)), expected,
+                                   atol=1e-10)
+
+    def test_diagonal(self, mesh):
+        bsr = generate_banded_bsr(16, 8, bandwidth=1, seed=4)
+        op = HaloBSROperator.from_bsr(bsr, bandwidth=1, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(op.diagonal()),
+                                   np.asarray(bsr.diagonal()), atol=1e-14)
+
+    def test_davidson_on_halo_bsr(self, mesh):
+        bsr = generate_banded_bsr(16, 8, bandwidth=1, coupling=1e-3, seed=6)
+        op = HaloBSROperator.from_bsr(bsr, bandwidth=1, mesh=mesh)
+        ref = fdt.eigensolve(bsr, 3, tolerance=1e-8)
+        res = eigensolve_sharded(op, 3, mesh, tolerance=1e-8)
+        res.block_until_ready()
+        assert bool(res.converged)
+        assert int(res.iterations) == int(ref.iterations)
+        np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                                   np.asarray(ref.eigenvalues), atol=1e-10)
+
+    def test_bandwidth_validation(self, mesh):
+        bsr = generate_banded_bsr(16, 8, bandwidth=1)
+        with pytest.raises(Exception):
+            HaloBSROperator.from_bsr(bsr, bandwidth=3, mesh=mesh)
+
+
+class TestShardOperator:
+    def test_dense_placement(self, mesh):
+        A = generate_diagonal_dominant(64, 1e-3)
+        op = shard_operator(fdt.as_operator(A), mesh)
+        sh = op.matrix.sharding
+        assert isinstance(sh, NamedSharding) and sh.spec[0] == "rows"
