@@ -1,0 +1,174 @@
+"""Benchmark harness (driver-run, real TPU).
+
+Prints ONE JSON line::
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Headline metric: sustained banded-BSR SpMM throughput in effective nnz/s
+on one chip — the hot op of the Davidson solver (every outer iteration is
+dominated by A @ V). The reference publishes no numbers (``BASELINE.md``),
+so ``vs_baseline`` measures against the BASELINE.json target instead:
+>= 80% of the theoretical HBM roofline for the operator's minimum traffic
+(1.0 == exactly the 80% target).
+
+Harness notes for this environment (axon TPU tunnel):
+- operators must be jit *arguments*, never captured constants (the remote
+  compile RPC rejects large bodies);
+- ``block_until_ready`` does not reliably block — timings fetch a scalar
+  to host;
+- chained iterations run inside one jitted ``fori_loop`` with a
+  scalar-only cross-iteration dependency so the measurement adds no
+  extra memory traffic.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Per-chip HBM bandwidth (GB/s) by device kind; conservative defaults.
+_HBM_GBPS = {
+    "TPU v4": 1228.0,
+    "TPU v5p": 2765.0,
+    "TPU v5": 819.0,
+    "TPU v5e": 819.0,
+    "TPU v5 lite": 819.0,
+    "TPU v6e": 1640.0,
+    "TPU v6 lite": 1640.0,
+    "TPU7x": 7400.0,
+}
+
+_CHAIN = 20
+
+
+def _device_hbm_gbps() -> float:
+    kind = jax.devices()[0].device_kind
+    for name, bw in sorted(_HBM_GBPS.items(), key=lambda kv: -len(kv[0])):
+        if kind.lower().startswith(name.lower()):
+            return bw
+    return 819.0  # v5e-class default
+
+
+def bench_bsr_spmm():
+    """Banded BSR SpMM: 128x128 blocks, bandwidth 2, m=128 vectors."""
+    from fortran_davidson_tpu.ops.sparse import generate_banded_bsr
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        nbr, bs, bw, m = 4096, 128, 2, 128
+    else:  # CPU smoke-scale so local runs stay fast
+        nbr, bs, bw, m = 64, 32, 2, 8
+    base = generate_banded_bsr(nbr, bs, bandwidth=bw, coupling=1e-3,
+                               dtype=jnp.float32)
+    op32 = base.with_backend("pallas") if on_tpu else base
+    n = op32.shape[0]
+    nnz = int(base.blocks.size)  # padded slots are zero but still streamed
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, m), jnp.float32)
+
+    def chain(op, y):
+        def body(_, carry):
+            y, _ = carry
+            z = op.matmat(y)
+            s = z[0, 0].astype(jnp.float32)  # scalar-only dependency
+            return y * (1.0 + 0.0 * s).astype(y.dtype), s
+        return jax.lax.fori_loop(0, _CHAIN, body, (y, jnp.float32(0)))[1]
+
+    chain_j = jax.jit(chain)
+
+    def timed(op, y):
+        float(chain_j(op, y))  # compile + warm
+        t0 = time.perf_counter()
+        float(chain_j(op, y))
+        return (time.perf_counter() - t0) / _CHAIN
+
+    results = {}
+    try:
+        results["f32"] = timed(op32, x)
+    except Exception as e:  # Pallas unavailable: XLA gather fallback
+        op32 = base
+        results["pallas_error"] = str(e)[:200]
+        results["f32"] = timed(op32, x)
+    if on_tpu:
+        try:
+            op16 = type(op32)(op32.block_cols,
+                              op32.blocks.astype(jnp.bfloat16),
+                              backend=op32.backend,
+                              bandwidth=op32.bandwidth)
+            results["bf16"] = timed(op16, x.astype(jnp.bfloat16))
+        except Exception as e:
+            results["bf16_error"] = str(e)[:200]
+
+    variant, t_best = min(
+        ((k, v) for k, v in results.items() if isinstance(v, float)),
+        key=lambda kv: kv[1])
+    eff_nnz_per_s = nnz * m / t_best
+
+    # Theoretical minimum traffic at the winning precision: stream the
+    # blocks once, read x once (+ halo overlap of the row-tile windows),
+    # write the f32 output once.
+    item = 2 if variant == "bf16" else 4
+    from fortran_davidson_tpu.ops.pallas_kernels import _TILE_R
+    W = _TILE_R + 2 * bw
+    bytes_min = (nnz * item                       # blocks
+                 + (nbr // _TILE_R) * W * bs * m * item   # x windows
+                 + n * m * 4)                     # f32 output
+    roofline_t = bytes_min / (_device_hbm_gbps() * 1e9)
+    return dict(
+        nnz=nnz, m=m, n=n, variant=variant, time_per_spmm_s=t_best,
+        eff_nnz_per_s=eff_nnz_per_s,
+        frac_of_hbm_roofline=roofline_t / t_best,
+        timings={k: v for k, v in results.items()},
+    )
+
+
+def bench_davidson_solve():
+    """End-to-end: lowest-3 of a 1M-row matrix-free surrogate (f32)."""
+    from fortran_davidson_tpu import eigensolve
+    from fortran_davidson_tpu.models.generators import surrogate_hamiltonian
+
+    on_tpu = jax.default_backend() == "tpu"
+    n = 1_000_448 if on_tpu else 100_096
+    tol = 1e-4  # float32 path on the chip
+    op = surrogate_hamiltonian(n, dtype=jnp.float32)
+
+    def run():
+        return eigensolve(op, 3, method="DPR", tolerance=tol,
+                          max_iterations=100, dtype="float32")
+
+    res = run()
+    iters = int(res.iterations)  # forces completion (host fetch)
+    t0 = time.perf_counter()
+    res = run()
+    iters = int(res.iterations)
+    vals = [float(v) for v in res.eigenvalues]
+    dt = time.perf_counter() - t0
+    return dict(n=n, wall_s=dt, iterations=iters,
+                converged=bool(res.converged), eigenvalues=vals)
+
+
+def main():
+    spmm = bench_bsr_spmm()
+    try:
+        solve = bench_davidson_solve()
+    except Exception as e:
+        solve = {"error": str(e)[:300]}
+    target_fraction = 0.80  # BASELINE.json: >=80% of HBM roofline
+    print(json.dumps({
+        "metric": "banded_bsr_spmm_effective_nnz_per_s",
+        "value": spmm["eff_nnz_per_s"],
+        "unit": "nnz/s",
+        "vs_baseline": spmm["frac_of_hbm_roofline"] / target_fraction,
+        "details": {
+            "spmm": spmm,
+            "davidson_1M_matrix_free": solve,
+            "device": jax.devices()[0].device_kind,
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

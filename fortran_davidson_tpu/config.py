@@ -105,11 +105,18 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
     require(lowest <= n, InvalidOptionsError,
             f"lowest={lowest} exceeds matrix dimension {n}")
     init_dim = opts.init_dim if opts.init_dim is not None else 2 * lowest
-    max_dim = opts.max_dim_sub if opts.max_dim_sub is not None else 10 * lowest
     require(init_dim >= lowest, InvalidOptionsError,
             "init_dim must be >= lowest")
     require(init_dim <= n, InvalidOptionsError,
             f"init_dim={init_dim} exceeds matrix dimension {n}")
+    if opts.max_dim_sub is not None:
+        max_dim = opts.max_dim_sub
+    else:
+        # Reference default 10*lowest (``src/davidson.f90:115-119``),
+        # clamped so the padded doubling schedule fits small problems.
+        max_dim = 10 * lowest
+        while max_dim > init_dim and subspace_cap(init_dim, max_dim) > n:
+            max_dim //= 2
     m_max = subspace_cap(init_dim, max_dim)
     require(m_max <= n, InvalidOptionsError,
             f"padded subspace width {m_max} exceeds matrix dimension {n}; "

@@ -19,6 +19,7 @@ TPU-native counterparts of the reference's fixtures:
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from fortran_davidson_tpu.ops.operators import MatrixFreeOperator
@@ -39,6 +40,28 @@ def generate_diagonal_dominant(n: int, sparsity: float, diag_val=None,
     else:
         diag = jnp.full((n,), diag_val, dtype=dtype)
     return arr + jnp.diag(diag)
+
+
+def bse_surrogate(n: int = 864, coupling: float = 5e-4, seed: int = 864,
+                  dtype=jnp.float64):
+    """Deterministic dense BSE-style regression matrix.
+
+    Stands in for the reference's 864x864 Bethe-Salpeter fixture
+    (``src/tests/test_reorder.f90:17-26``; the ``data/bse_singlet.dat``
+    blob is absent from the mount, ``.MISSING_LARGE_BLOBS``): a dense
+    symmetric matrix with the same character — clustered excitation-like
+    diagonal in [0.3, 0.75] hartree with small dense coupling — used for
+    the pinned-eigenvalue convergence regression (tier-1 test of
+    SURVEY.md §4).
+    """
+    dt = canonical_dtype(dtype)
+    rng = np.random.default_rng(seed)
+    off = (rng.random((n, n)) - 0.5) * coupling
+    off = np.triu(off, 1)
+    off = off + off.T
+    t = np.arange(n) / max(n - 1, 1)
+    diag = 0.3 + 0.45 * t ** 1.2
+    return jnp.asarray(off + np.diag(diag), dt)
 
 
 def _rank2_trig_factors(n: int, dtype):

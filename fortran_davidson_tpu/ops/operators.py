@@ -235,6 +235,48 @@ def probe_diagonal(matmat: Callable, n: int, dtype, block: int = 128):
     return diag[:n]
 
 
+def from_element_fn(fn: Callable, n: int, dtype=jnp.float64,
+                    diag=None, row_block: int = 256) -> MatrixFreeOperator:
+    """Operator defined by an element function ``fn(i, j) -> A_ij``.
+
+    TPU-native counterpart of the reference's ``free_matmul``
+    (``src/davidson.f90:526-569``), which regenerates matrix rows on the
+    fly from a column function and dot-products them against the basis
+    inside an OpenMP loop. Here rows are generated in blocks with a
+    double ``vmap`` and contracted against the input block on the MXU:
+    ``A @ X`` costs ``ceil(n / row_block)`` dense ``(row_block, n) @
+    (n, m)`` matmuls with O(row_block * n) transient memory.
+
+    ``fn`` must accept traced integer scalars (i, j) and return a scalar.
+    If ``diag`` is omitted it is computed once from ``fn`` directly.
+    """
+    dt = jnp.dtype(dtype)
+    cols = jnp.arange(n)
+    row_of = jax.vmap(lambda i: jax.vmap(lambda j: fn(i, j))(cols))
+    if diag is None:
+        diag = jax.vmap(lambda i: fn(i, i))(cols).astype(dt)
+
+    nblocks = -(-n // row_block)
+    npad = nblocks * row_block
+
+    def apply(X, diag):
+        m = X.shape[1]
+
+        def body(b, out):
+            start = b * row_block
+            rows_idx = start + jnp.arange(row_block)
+            rows = row_of(jnp.minimum(rows_idx, n - 1)).astype(X.dtype)
+            seg = jnp.dot(rows, X, preferred_element_type=X.dtype)
+            return jax.lax.dynamic_update_slice(out, seg, (start, 0))
+
+        out = jax.lax.fori_loop(0, nblocks, body,
+                                jnp.zeros((npad, m), X.dtype))
+        return out[:n]
+
+    return MatrixFreeOperator(apply, n, dtype=dt, diag=diag,
+                              captured=(diag,))
+
+
 def as_operator(obj, dtype=None) -> LinearOperator:
     """Coerce user input (operator / dense array) to a LinearOperator.
 

@@ -189,28 +189,40 @@ class BSROperator(LinearOperator):
 
     ``block_cols``: (nbr, K) int32 — block-column index of each stored
     block (padded slots point at the row's own block index).
-    ``blocks``: (nbr, K, bs, bs) — dense blocks (padded slots zero).
-
-    SpMM = gather ``K`` input slices per block row + one batched MXU
-    einsum; with ``bs`` >= 8 (f32) the contraction tiles natively onto the
-    MXU. ``backend='pallas'`` routes through the Pallas streaming kernel
-    (TPU only; XLA gather path is the portable default).
+    ``blocks``: (nbr, bs, K, bs) — dense blocks in *row-major block*
+    layout: ``blocks[r, :, k, :]`` is the ``bs x bs`` block at
+    ``(r, block_cols[r, k])``. This layout reshapes (free, contiguous) to
+    ``(nbr, bs, K*bs)`` so a whole block row contracts as ONE
+    ``(bs, K*bs) @ (K*bs, m)`` MXU matmul — large dots instead of K small
+    ones — in both the XLA einsum path and the Pallas streaming kernel
+    (``backend='pallas'``, TPU only).
     """
 
-    def __init__(self, block_cols, blocks, backend: str = "xla"):
+    def __init__(self, block_cols, blocks, backend: str = "xla",
+                 bandwidth: Optional[int] = None):
         block_cols = jnp.asarray(block_cols, jnp.int32)
         blocks = jnp.asarray(blocks)
         require(blocks.ndim == 4 and block_cols.ndim == 2
-                and blocks.shape[:2] == block_cols.shape
-                and blocks.shape[2] == blocks.shape[3],
+                and blocks.shape[0] == block_cols.shape[0]
+                and blocks.shape[2] == block_cols.shape[1]
+                and blocks.shape[1] == blocks.shape[3],
                 OperatorError,
-                f"BSR needs (nbr, K) block_cols and (nbr, K, bs, bs) blocks, "
+                f"BSR needs (nbr, K) block_cols and (nbr, bs, K, bs) blocks, "
                 f"got {block_cols.shape} / {blocks.shape}")
         require(backend in ("xla", "pallas"), OperatorError,
                 f"unknown BSR backend {backend!r}")
+        if bandwidth is not None:
+            require(block_cols.shape[1] == 2 * bandwidth + 1, OperatorError,
+                    "banded BSR needs K == 2*bandwidth + 1 window-aligned "
+                    f"slots, got K={block_cols.shape[1]}, bw={bandwidth}")
         self.block_cols = block_cols
         self.blocks = blocks
         self.backend = backend
+        # Declared block bandwidth for *window-aligned* banded storage
+        # (slot k of row r holds column clip(r-bw, 0, nbr-K)+k): enables
+        # the windowed-DMA Pallas kernel (one contiguous x fetch per row
+        # tile instead of K scattered slice fetches per row).
+        self.bandwidth = None if bandwidth is None else int(bandwidth)
 
     # -- constructors ---------------------------------------------------
     @classmethod
@@ -239,7 +251,9 @@ class BSROperator(LinearOperator):
         vals = np.zeros((nbr, K, bs, bs), block_vals.dtype)
         cols[brows, slot] = bcols
         vals[brows, slot] = block_vals
-        return cls(cols.astype(np.int32), vals, backend=backend)
+        return cls(cols.astype(np.int32),
+                   np.ascontiguousarray(vals.transpose(0, 2, 1, 3)),
+                   backend=backend)
 
     @classmethod
     def from_dense(cls, matrix, bs: int, tol: float = 0.0, backend="xla"):
@@ -257,7 +271,7 @@ class BSROperator(LinearOperator):
     # -- LinearOperator -------------------------------------------------
     @property
     def block_size(self) -> int:
-        return self.blocks.shape[-1]
+        return self.blocks.shape[1]
 
     @property
     def n_block_rows(self) -> int:
@@ -265,7 +279,7 @@ class BSROperator(LinearOperator):
 
     @property
     def blocks_per_row(self) -> int:
-        return self.blocks.shape[1]
+        return self.blocks.shape[2]
 
     @property
     def shape(self):
@@ -278,43 +292,50 @@ class BSROperator(LinearOperator):
 
     def matmat(self, block):
         if self.backend == "pallas":
-            from fortran_davidson_tpu.ops.pallas_kernels import bsr_spmm
+            from fortran_davidson_tpu.ops.pallas_kernels import (
+                _TILE_R, banded_bsr_spmm, bsr_spmm)
+            bw = self.bandwidth
+            if bw is not None and self.n_block_rows >= _TILE_R + 2 * bw:
+                return banded_bsr_spmm(self.blocks, block, bandwidth=bw)
+            # Tiny bands fall back to the general scattered-slice kernel.
             return bsr_spmm(self.block_cols, self.blocks, block)
-        nbr, K, bs, _ = self.blocks.shape
+        nbr, bs, K, _ = self.blocks.shape
         m = block.shape[1]
         xb = block.reshape(nbr, bs, m)
         gathered = jnp.take(xb, self.block_cols, axis=0)   # (nbr, K, bs, m)
-        out = jnp.einsum("rkab,rkbm->ram", self.blocks.astype(block.dtype),
+        out = jnp.einsum("rakb,rkbm->ram", self.blocks.astype(block.dtype),
                          gathered, preferred_element_type=block.dtype)
         return out.reshape(nbr * bs, m)
 
     def diagonal(self):
-        nbr, K, bs, _ = self.blocks.shape
+        nbr, bs, K, _ = self.blocks.shape
         own = self.block_cols == jnp.arange(nbr, dtype=jnp.int32)[:, None]
         diag_blocks = jnp.sum(
-            jnp.where(own[:, :, None, None], self.blocks, 0), axis=1)
+            jnp.where(own[:, None, :, None], self.blocks, 0), axis=2)
         return jnp.diagonal(diag_blocks, axis1=1, axis2=2).reshape(-1)
 
     def to_dense(self):
-        nbr, K, bs, _ = self.blocks.shape
+        nbr, bs, K, _ = self.blocks.shape
         n = nbr * bs
         dense = jnp.zeros((nbr, nbr, bs, bs), self.dtype)
         rows = jnp.broadcast_to(jnp.arange(nbr)[:, None], (nbr, K))
-        dense = dense.at[rows, self.block_cols].add(self.blocks)
+        dense = dense.at[rows, self.block_cols].add(
+            self.blocks.transpose(0, 2, 1, 3))
         return dense.transpose(0, 2, 1, 3).reshape(n, n)
 
     def with_backend(self, backend: str) -> "BSROperator":
-        return BSROperator(self.block_cols, self.blocks, backend=backend)
+        return BSROperator(self.block_cols, self.blocks, backend=backend,
+                           bandwidth=self.bandwidth)
 
     # -- pytree ----------------------------------------------------------
     def tree_flatten(self):
-        return (self.block_cols, self.blocks), (self.backend,)
+        return (self.block_cols, self.blocks), (self.backend, self.bandwidth)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         obj.block_cols, obj.blocks = children
-        (obj.backend,) = aux
+        obj.backend, obj.bandwidth = aux
         return obj
 
 
@@ -360,29 +381,34 @@ def generate_banded_bsr(n_block_rows: int, bs: int, bandwidth: int = 1,
     rng = np.random.default_rng(seed)
     dt = np.dtype(jnp.dtype(dtype).name)
     nbr = n_block_rows
-    brows, bcols, bvals = [], [], []
+    bw = bandwidth
+    K = 2 * bw + 1
+    require(nbr >= K, OperatorError,
+            f"need at least K={K} block rows for bandwidth {bw}")
+    # Window-aligned block-ELL assembly (slot k of row r holds column
+    # clip(r-bw, 0, nbr-K)+k; absent band positions stay zero) — the
+    # storage convention of the windowed-DMA Pallas kernel.
+    starts = np.clip(np.arange(nbr) - bw, 0, nbr - K)
+    cols = starts[:, None] + np.arange(K)          # (nbr, K), always in range
+    vals = np.zeros((nbr, K, bs, bs), dt)
+
     # Off-diagonal bands (upper), mirrored for symmetry.
-    for d in range(1, bandwidth + 1):
+    for d in range(1, bw + 1):
         cnt = nbr - d
         if cnt <= 0:
             continue
         blocks = (rng.random((cnt, bs, bs)).astype(dt) - 0.5) * coupling
         r = np.arange(cnt)
-        brows.append(r)
-        bcols.append(r + d)
-        bvals.append(blocks)
-        brows.append(r + d)
-        bcols.append(r)
-        bvals.append(blocks.transpose(0, 2, 1))
+        vals[r, r + d - starts[r]] = blocks
+        vals[r + d, r - starts[r + d]] = blocks.transpose(0, 2, 1)
     # Diagonal blocks: symmetric small coupling + dominant diagonal.
     dblocks = (rng.random((nbr, bs, bs)).astype(dt) - 0.5) * coupling
     dblocks = dblocks + dblocks.transpose(0, 2, 1)
     diag = np.arange(1, nbr * bs + 1, dtype=dt).reshape(nbr, bs)
     idx = np.arange(bs)
     dblocks[:, idx, idx] = diag
-    brows.append(np.arange(nbr))
-    bcols.append(np.arange(nbr))
-    bvals.append(dblocks)
-    return BSROperator.from_block_coo(
-        np.concatenate(brows), np.concatenate(bcols), np.concatenate(bvals),
-        nbr, backend=backend)
+    r = np.arange(nbr)
+    vals[r, r - starts] = dblocks
+    return BSROperator(cols.astype(np.int32),
+                       np.ascontiguousarray(vals.transpose(0, 2, 1, 3)),
+                       backend=backend, bandwidth=bw)

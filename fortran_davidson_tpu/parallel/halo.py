@@ -44,6 +44,8 @@ class HaloBSROperator(LinearOperator):
 
     def __init__(self, block_cols, blocks, bandwidth: int, mesh: Mesh,
                  axis: str = ROWS_AXIS, _placed: bool = False):
+        # blocks use the (nbr, bs, K, bs) row-major block layout of
+        # :class:`~fortran_davidson_tpu.ops.sparse.BSROperator`.
         nbr, K = block_cols.shape[:2]
         ndev = mesh.shape[axis]
         require(nbr % ndev == 0, OperatorError,
@@ -72,7 +74,7 @@ class HaloBSROperator(LinearOperator):
     # -- LinearOperator -------------------------------------------------
     @property
     def block_size(self) -> int:
-        return self.blocks.shape[-1]
+        return self.blocks.shape[1]
 
     @property
     def shape(self):
@@ -84,7 +86,7 @@ class HaloBSROperator(LinearOperator):
         return self.blocks.dtype
 
     def matmat(self, block):
-        nbr, K, bs, _ = self.blocks.shape
+        nbr, bs, K, _ = self.blocks.shape
         ndev = self.mesh.shape[self.axis]
         nbr_l = nbr // ndev
         bw = self.bandwidth
@@ -112,7 +114,7 @@ class HaloBSROperator(LinearOperator):
             # overlaps it with the neighbor transfers.
             gi = jnp.take(xb, jnp.clip(local_idx, 0, nbr_l - 1), axis=0)
             gi = gi * is_local[:, :, None, None].astype(x.dtype)
-            out = jnp.einsum("rkab,rkbm->ram", blks.astype(x.dtype), gi,
+            out = jnp.einsum("rakb,rkbm->ram", blks.astype(x.dtype), gi,
                              preferred_element_type=x.dtype)
 
             # Halo contraction over the 2*bw received boundary blocks.
@@ -122,7 +124,7 @@ class HaloBSROperator(LinearOperator):
                                  local_idx - nbr_l + bw)
             gh = jnp.take(xh, jnp.clip(halo_idx, 0, 2 * bw - 1), axis=0)
             gh = gh * (~is_local)[:, :, None, None].astype(x.dtype)
-            out = out + jnp.einsum("rkab,rkbm->ram", blks.astype(x.dtype),
+            out = out + jnp.einsum("rakb,rkbm->ram", blks.astype(x.dtype),
                                    gh, preferred_element_type=x.dtype)
             return out.reshape(nbr_l * bs, m)
 
@@ -134,10 +136,10 @@ class HaloBSROperator(LinearOperator):
         )(self.block_cols, self.blocks, block)
 
     def diagonal(self):
-        nbr, K, bs, _ = self.blocks.shape
+        nbr, bs, K, _ = self.blocks.shape
         own = self.block_cols == jnp.arange(nbr, dtype=jnp.int32)[:, None]
         diag_blocks = jnp.sum(
-            jnp.where(own[:, :, None, None], self.blocks, 0), axis=1)
+            jnp.where(own[:, None, :, None], self.blocks, 0), axis=2)
         return jnp.diagonal(diag_blocks, axis1=1, axis2=2).reshape(-1)
 
     # -- pytree ----------------------------------------------------------

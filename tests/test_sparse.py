@@ -130,6 +130,33 @@ class TestPallasBSR:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("nbr,bw", [(16, 2), (24, 1), (17, 2)])
+    def test_banded_kernel_matches_xla(self, rng, nbr, bw):
+        from fortran_davidson_tpu.ops.pallas_kernels import banded_bsr_spmm
+        op = generate_banded_bsr(nbr, 8, bandwidth=bw, seed=9,
+                                 dtype=jnp.float32)
+        assert op.bandwidth == bw
+        n = op.shape[0]
+        X = jnp.asarray(rng.standard_normal((n, 16)), jnp.float32)
+        ref = op.matmat(X)
+        out = banded_bsr_spmm(op.blocks, X, bandwidth=bw, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_banded_bf16_accumulate_f32(self, rng):
+        from fortran_davidson_tpu.ops.pallas_kernels import banded_bsr_spmm
+        op = generate_banded_bsr(16, 8, bandwidth=1, seed=10,
+                                 dtype=jnp.float32)
+        n = op.shape[0]
+        X = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
+        ref = np.asarray(op.matmat(X))
+        out = banded_bsr_spmm(op.blocks.astype(jnp.bfloat16),
+                              X.astype(jnp.bfloat16), bandwidth=1,
+                              interpret=True, out_dtype=jnp.float32)
+        assert out.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(out), ref,
+                                   rtol=2e-2, atol=2e-2)
+
     def test_backend_switch(self, rng):
         op = generate_banded_bsr(4, 8, seed=7, dtype=jnp.float32)
         p = op.with_backend("pallas")
