@@ -131,7 +131,9 @@ def bench_davidson_solve():
 
     on_tpu = jax.default_backend() == "tpu"
     n = 1_000_448 if on_tpu else 100_096
-    tol = 1e-4  # float32 path on the chip
+    # f32 residual floor for this operator (||A|| ~ n) is ~4e-4; converge
+    # just above it. f64 runs (1e-8 parity) live on CPU, see tests/.
+    tol = 1e-3
     op = surrogate_hamiltonian(n, dtype=jnp.float32)
 
     def run():

@@ -41,6 +41,14 @@ class DavidsonOptions:
         parity problems, bounded for large ones).
       gjd_inner_tol: relative residual tolerance of the inner GJD solve.
       n_reorth: CGS passes when orthogonalizing new blocks (2 = CGS2).
+      relative_tolerance: if True, pair j converges when
+        ``||r_j|| < tolerance * max(|lambda_j|, 1)`` instead of the
+        reference's absolute check (``src/davidson.f90:174``) — needed for
+        float32 solves at scale, where the absolute residual floor grows
+        with ||A||.
+      orthonormalization: "cholqr2" (TPU-native CholeskyQR2 — Gram matmul
+        + small Cholesky, all MXU/psum work) or "qr" (Householder
+        ``jnp.linalg.qr``, the reference's DGEQRF semantics; slow on TPU).
       dtype: float64 (reference parity) or float32.
     """
 
@@ -53,6 +61,8 @@ class DavidsonOptions:
     gjd_inner_iters: Optional[int] = None
     gjd_inner_tol: float = 1e-12
     n_reorth: int = 2
+    relative_tolerance: bool = False
+    orthonormalization: str = "cholqr2"
     dtype: str = "float64"
 
     def __post_init__(self):
@@ -60,6 +70,9 @@ class DavidsonOptions:
         require(self.max_iterations >= 1, InvalidOptionsError,
                 "max_iterations must be >= 1")
         require(self.tolerance > 0, InvalidOptionsError, "tolerance must be > 0")
+        require(self.orthonormalization in ("cholqr2", "qr"),
+                InvalidOptionsError,
+                f"unknown orthonormalization {self.orthonormalization!r}")
         jnp.dtype(self.dtype)  # raises on nonsense
 
 
@@ -78,6 +91,8 @@ class ResolvedConfig:
     gjd_inner_iters: int
     gjd_inner_tol: float
     n_reorth: int
+    relative: bool
+    ortho: str
     dtype: str
     generalized: bool
 
@@ -136,6 +151,8 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
         gjd_inner_iters=int(inner),
         gjd_inner_tol=float(opts.gjd_inner_tol),
         n_reorth=int(opts.n_reorth),
+        relative=bool(opts.relative_tolerance),
+        ortho=str(opts.orthonormalization),
         dtype=str(jnp.dtype(opts.dtype)),
         generalized=generalized,
     )

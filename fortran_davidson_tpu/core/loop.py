@@ -95,7 +95,11 @@ def _engine(cfg: ResolvedConfig, A: LinearOperator,
         R = (AXW - BXW * w[None, :]) * mask[None, :]
 
         errors = jnp.linalg.norm(R[:, :k], axis=0)
-        conv_now = errors < cfg.tolerance
+        if cfg.relative:
+            conv_now = errors < cfg.tolerance * jnp.maximum(
+                jnp.abs(w[:k]), 1.0)
+        else:
+            conv_now = errors < cfg.tolerance
         has_conv = (st["has_conv"] | conv_now) if cfg.sticky else conv_now
         all_conv = jnp.all(has_conv)
 
@@ -115,7 +119,8 @@ def _engine(cfg: ResolvedConfig, A: LinearOperator,
                     A.matmat, B.matmat if gen else None, w, X, R, mask,
                     cfg.gjd_inner_iters, cfg.gjd_inner_tol)
             Q = orthogonal.orthonormalize_block(V, corr, mask,
-                                                n_reorth=cfg.n_reorth)
+                                                n_reorth=cfg.n_reorth,
+                                                method=cfg.ortho)
             # New block columns occupy the prefix [0, m); shift them to
             # [m, 2m) and add into the zero-padded region. 2m <= m_max is
             # guaranteed by the doubling schedule (config.subspace_cap).
@@ -132,7 +137,7 @@ def _engine(cfg: ResolvedConfig, A: LinearOperator,
             W2 = W[:, :init_dim]
             X2 = jnp.dot(V, W2, preferred_element_type=dt)
             AX2 = jnp.dot(AV, W2, preferred_element_type=dt)
-            Qc, Rc = orthogonal.thin_qr_collapse(X2)
+            Qc, Rc = orthogonal.thin_qr_collapse(X2, method=cfg.ortho)
             AQc = orthogonal.right_tri_solve(AX2, Rc)
             Vn = jnp.zeros_like(V).at[:, :init_dim].set(Qc)
             AVn = jnp.zeros_like(AV).at[:, :init_dim].set(AQc)

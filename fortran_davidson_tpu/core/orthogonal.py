@@ -49,7 +49,8 @@ def _filler(shape, dtype):
     return jax.random.normal(jax.random.PRNGKey(0xDA71D50), shape, dtype)
 
 
-def orthonormalize_block(V, block, mask, n_reorth: int = 2):
+def orthonormalize_block(V, block, mask, n_reorth: int = 2,
+                         method: str = "cholqr2"):
     """Orthonormalize ``block`` against the padded basis ``V`` and itself.
 
     Args:
@@ -77,7 +78,16 @@ def orthonormalize_block(V, block, mask, n_reorth: int = 2):
     # Intra-block orthonormalization. Active columns form a prefix, so the
     # leading columns of Q from a thin QR span them; trailing Q columns are
     # arbitrary orthonormal directions and get masked back to zero.
-    q, _ = jnp.linalg.qr(block)
+    if method == "qr":
+        q, _ = jnp.linalg.qr(block)
+    else:
+        # CholeskyQR2 on column-normalized data (padded columns pass
+        # through as zeros via the unit Gram diagonal).
+        norms0 = jnp.linalg.norm(block, axis=0)
+        inv0 = jnp.where(norms0 > 0, 1.0 / jnp.where(norms0 > 0, norms0, 1.0),
+                         0.0)
+        q, _ = cholqr2(block * inv0[None, :], unit_diag=mask,
+                       jitter=64.0 * jnp.finfo(dt).eps)
     q = q * mask[None, :]
     # One more sweep against V: the QR completes zero/near-zero columns with
     # arbitrary directions that may have components in span(V).
@@ -88,7 +98,42 @@ def orthonormalize_block(V, block, mask, n_reorth: int = 2):
     return q * inv[None, :]
 
 
-def thin_qr_collapse(X):
+def cholqr_once(X, unit_diag=None, jitter: float = 0.0):
+    """One CholeskyQR pass: X = Q R via R = chol(X^T X)^T, Q = X R^{-1}.
+
+    All heavy work is one Gram matmul (MXU; a psum under row sharding)
+    plus an m x m Cholesky/triangular solve — the TPU-native shape of
+    tall-skinny QR, replacing the Householder DGEQRF/DORGQR of the
+    reference (``src/lapack_wrapper.f90:176-236``) which XLA lowers to a
+    slow sequential loop on TPU.
+
+    ``unit_diag``: optional (m,) 0/1 mask; positions with 0 get a unit
+    Gram diagonal so exactly-zero (padded) columns pass through as zero
+    columns instead of breaking the factorization.
+    """
+    G = jnp.dot(X.T, X, preferred_element_type=X.dtype)
+    if unit_diag is not None:
+        G = G + jnp.diag(1.0 - unit_diag)
+    if jitter:
+        # Relative diagonal regularization: keeps the factorization finite
+        # for (near-)parallel columns, where Householder QR would invent an
+        # arbitrary completion direction anyway. Spans are unaffected.
+        G = G + jitter * jnp.mean(jnp.diagonal(G)) * jnp.eye(
+            G.shape[0], dtype=G.dtype)
+    L = jnp.linalg.cholesky(G)
+    Qt = jax.scipy.linalg.solve_triangular(L, X.T, lower=True)
+    return Qt.T, L.T
+
+
+def cholqr2(X, unit_diag=None, jitter: float = 0.0):
+    """CholeskyQR2 (Yamamoto et al.): two passes give orthogonality at
+    working precision for cond(X) up to ~1/sqrt(eps)."""
+    Q1, R1 = cholqr_once(X, unit_diag, jitter)
+    Q2, R2 = cholqr_once(Q1, unit_diag, jitter)
+    return Q2, jnp.dot(R2, R1, preferred_element_type=X.dtype)
+
+
+def thin_qr_collapse(X, method: str = "cholqr2"):
     """Thin QR used at subspace collapse.
 
     At collapse the reference sets ``V <- V @ W[:, :init_dim]``
@@ -99,8 +144,14 @@ def thin_qr_collapse(X):
     and return (Q, R) so cached A@V / B@V can be updated by a triangular
     solve (A@Q = (A@X) R^{-1}) with *no* extra operator applications.
     Identical span => identical Ritz values => iteration-count parity.
+
+    The collapsed block is Ritz vectors (orthonormal, or B-orthonormal
+    with a well-conditioned B, in exact arithmetic), so CholeskyQR2 is
+    unconditionally stable here; ``method="qr"`` falls back to Householder.
     """
-    return jnp.linalg.qr(X)
+    if method == "qr":
+        return jnp.linalg.qr(X)
+    return cholqr2(X)
 
 
 def right_tri_solve(Y, R):

@@ -143,3 +143,53 @@ def test_right_tri_solve():
     R = np.triu(rng.normal(size=(5, 5))) + 5 * np.eye(5)
     X = np.asarray(orthogonal.right_tri_solve(jnp.asarray(Y), jnp.asarray(R)))
     np.testing.assert_allclose(X @ R, Y, atol=1e-12)
+
+
+class TestCholeskyQR2:
+    def test_matches_householder_span(self, rng):
+        import jax.numpy as jnp
+        from fortran_davidson_tpu.core.orthogonal import cholqr2
+        X = jnp.asarray(rng.standard_normal((200, 12)))
+        Q, R = cholqr2(X)
+        np.testing.assert_allclose(np.asarray(Q.T @ Q), np.eye(12),
+                                   atol=1e-13)
+        np.testing.assert_allclose(np.asarray(Q @ R), np.asarray(X),
+                                   atol=1e-12)
+        assert np.allclose(np.triu(np.asarray(R)), np.asarray(R))
+
+    def test_padded_zero_columns_pass_through(self, rng):
+        import jax.numpy as jnp
+        from fortran_davidson_tpu.core.orthogonal import cholqr2
+        X = jnp.asarray(rng.standard_normal((50, 8)))
+        mask = jnp.asarray([1.0] * 5 + [0.0] * 3)
+        Xm = X * mask[None, :]
+        Q, _ = cholqr2(Xm, unit_diag=mask)
+        Qn = np.asarray(Q)
+        assert np.all(Qn[:, 5:] == 0)
+        np.testing.assert_allclose(Qn[:, :5].T @ Qn[:, :5], np.eye(5),
+                                   atol=1e-13)
+
+    def test_qr_and_cholqr2_same_iteration_counts(self):
+        import fortran_davidson_tpu as fdt
+        from fortran_davidson_tpu.models.generators import \
+            generate_diagonal_dominant
+        A = generate_diagonal_dominant(80, 1e-3)
+        r1 = fdt.eigensolve(A, 3, orthonormalization="cholqr2")
+        r2 = fdt.eigensolve(A, 3, orthonormalization="qr")
+        assert int(r1.iterations) == int(r2.iterations)
+        np.testing.assert_allclose(np.asarray(r1.eigenvalues),
+                                   np.asarray(r2.eigenvalues), atol=1e-10)
+
+
+class TestRelativeTolerance:
+    def test_relative_scales_with_eigenvalue(self):
+        import fortran_davidson_tpu as fdt
+        from fortran_davidson_tpu.models.generators import \
+            generate_diagonal_dominant
+        A = generate_diagonal_dominant(120, 1e-3) * 1e6  # huge spectrum
+        res = fdt.eigensolve(A, 3, tolerance=1e-10, relative_tolerance=True,
+                             max_iterations=60)
+        res.block_until_ready()
+        assert bool(res.converged)
+        lam = np.abs(np.asarray(res.eigenvalues))
+        assert np.all(np.asarray(res.residual_norms) < 1e-10 * np.maximum(lam, 1))
