@@ -7,6 +7,7 @@ corrections, over dense, sparse, or matrix-free operators, single-chip or
 sharded across a TPU mesh.
 """
 
+from fortran_davidson_tpu.checkpoint import eigensolve_checkpointed
 from fortran_davidson_tpu.config import DavidsonOptions, DavidsonResult
 from fortran_davidson_tpu.ops.operators import (
     DenseOperator,
@@ -14,20 +15,26 @@ from fortran_davidson_tpu.ops.operators import (
     LinearOperator,
     MatrixFreeOperator,
     as_operator,
+    from_element_fn,
 )
+from fortran_davidson_tpu.ops.sparse import BSROperator, ELLOperator
 from fortran_davidson_tpu.solver import eigensolve, generalized_eigensolver
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
+    "BSROperator",
     "DavidsonOptions",
     "DavidsonResult",
     "DenseOperator",
     "DiagonalOperator",
+    "ELLOperator",
     "LinearOperator",
     "MatrixFreeOperator",
     "as_operator",
     "eigensolve",
+    "eigensolve_checkpointed",
+    "from_element_fn",
     "generalized_eigensolver",
     "__version__",
 ]

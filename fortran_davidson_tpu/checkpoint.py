@@ -1,0 +1,116 @@
+"""Checkpoint / resume for long solves (orbax-backed).
+
+The reference has no persistence at all — its only "restart" is the
+in-memory basis collapse (``src/davidson.f90:218,438``) and its only file
+I/O is test text dumps. For pod-scale runs the TPU framework checkpoints
+the full solver state pytree ``(V, AV[, BV], iteration, convergence
+masks, history)`` every N iterations and resumes bit-exactly: the loop
+state is explicit (``core.loop.init_state``), so a restored solve
+continues exactly where it stopped — same iterates, same iteration
+count, no re-applied operators.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+import jax
+
+from fortran_davidson_tpu.config import (DavidsonOptions, DavidsonResult,
+                                         resolve_options)
+from fortran_davidson_tpu.core.loop import get_stepper, run_chunked
+from fortran_davidson_tpu.ops.operators import as_operator
+from fortran_davidson_tpu.utils.dtypes import canonical_dtype
+from fortran_davidson_tpu.utils.errors import OperatorError, require
+
+_STEP_RE = re.compile(r"^step_(\d+)$")
+
+
+def _step_dirs(directory: str):
+    if not os.path.isdir(directory):
+        return []
+    out = []
+    for name in os.listdir(directory):
+        m = _STEP_RE.match(name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(directory, name)))
+    return sorted(out)
+
+
+def latest_step(directory: str) -> Optional[int]:
+    steps = _step_dirs(directory)
+    return steps[-1][0] if steps else None
+
+
+def save_state(directory: str, state: dict) -> str:
+    """Write the solver state pytree as ``step_<it>`` under ``directory``."""
+    import orbax.checkpoint as ocp
+
+    step = int(state["it"])
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    return path
+
+
+def restore_state(directory: str, template: dict,
+                  step: Optional[int] = None) -> Optional[dict]:
+    """Restore the latest (or given) ``step_*`` checkpoint; None if absent.
+
+    ``template`` supplies the pytree structure/shardings — use the
+    stepper's ``init(A, B)`` output (or ``jax.eval_shape`` thereof).
+    """
+    import orbax.checkpoint as ocp
+
+    steps = _step_dirs(os.path.abspath(directory))
+    if not steps:
+        return None
+    if step is not None:
+        match = [p for s, p in steps if s == step]
+        require(match, OperatorError, f"no checkpoint step_{step} found")
+        path = match[0]
+    else:
+        path = steps[-1][1]
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, abstract)
+
+
+def eigensolve_checkpointed(matrix, lowest: int, directory: str,
+                            every: int = 10, second_matrix=None,
+                            resume: bool = True,
+                            options: Optional[DavidsonOptions] = None,
+                            callbacks=(),
+                            **overrides) -> DavidsonResult:
+    """Davidson solve that checkpoints every ``every`` iterations.
+
+    Same contract as :func:`fortran_davidson_tpu.solver.eigensolve`; when
+    ``resume`` and ``directory`` holds a ``step_*`` checkpoint, the solve
+    continues from it instead of starting over. Checkpoints are
+    shape-bound to the solver configuration (the history buffers are
+    sized by ``max_iterations``): resume with the SAME options that wrote
+    the checkpoint.
+    """
+    opts = options or DavidsonOptions()
+    if overrides:
+        opts = DavidsonOptions(**{**opts.__dict__, **overrides})
+    dt = canonical_dtype(opts.dtype)
+
+    A = as_operator(matrix, dtype=dt)
+    B = None if second_matrix is None else as_operator(second_matrix, dtype=dt)
+    require(A.shape[0] == A.shape[1], OperatorError, "A must be square")
+    cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None)
+
+    init, _ = get_stepper(cfg)
+    state = None
+    if resume and latest_step(directory) is not None:
+        template = jax.eval_shape(lambda: init(A, B))
+        state = restore_state(directory, template)
+
+    def save_cb(st):
+        save_state(directory, st)
+
+    return run_chunked(cfg, A, B, every=every,
+                       callbacks=(save_cb, *callbacks), state=state)

@@ -34,9 +34,15 @@ from fortran_davidson_tpu.core import orthogonal, subspace
 from fortran_davidson_tpu.ops.operators import LinearOperator
 
 
-def _engine(cfg: ResolvedConfig, A: LinearOperator,
-            B: Optional[LinearOperator],
-            constrain=None) -> DavidsonResult:
+def init_state(cfg: ResolvedConfig, A: LinearOperator,
+               B: Optional[LinearOperator], constrain=None) -> dict:
+    """Initial loop state (a checkpointable pytree of arrays).
+
+    ``chunk_end`` bounds how far a single ``run_state`` call iterates —
+    ``max_iterations`` for a one-shot solve, smaller for the chunked
+    driver that interleaves checkpointing/callbacks (see
+    :func:`run_chunked`).
+    """
     n = A.shape[0]
     k = cfg.lowest
     m_max = cfg.m_max
@@ -45,7 +51,6 @@ def _engine(cfg: ResolvedConfig, A: LinearOperator,
     gen = B is not None
 
     diag_a = A.diagonal().astype(dt)
-    diag_b = B.diagonal().astype(dt) if gen else jnp.ones((n,), dt)
 
     V0 = subspace.initial_subspace(diag_a, init_dim, m_max)
     AV0 = A.matmat(V0)
@@ -54,6 +59,7 @@ def _engine(cfg: ResolvedConfig, A: LinearOperator,
         AV=AV0,
         m=jnp.asarray(init_dim, jnp.int32),
         it=jnp.asarray(0, jnp.int32),
+        chunk_end=jnp.asarray(cfg.max_iterations, jnp.int32),
         has_conv=jnp.zeros((k,), bool),
         all_conv=jnp.asarray(False),
         evals=jnp.zeros((k,), dt),
@@ -66,9 +72,28 @@ def _engine(cfg: ResolvedConfig, A: LinearOperator,
         state["BV"] = B.matmat(V0)
     if constrain is not None:
         state = constrain(state)
+    return state
+
+
+def run_state(cfg: ResolvedConfig, A: LinearOperator,
+              B: Optional[LinearOperator], state: dict,
+              constrain=None) -> dict:
+    """Iterate the Davidson while_loop until convergence, ``chunk_end``,
+    or ``max_iterations``."""
+    n = A.shape[0]
+    k = cfg.lowest
+    m_max = cfg.m_max
+    init_dim = cfg.init_dim
+    dt = jnp.dtype(cfg.dtype)
+    gen = B is not None
+
+    diag_a = A.diagonal().astype(dt)
+    diag_b = B.diagonal().astype(dt) if gen else jnp.ones((n,), dt)
 
     def cond(st):
-        return (st["it"] < cfg.max_iterations) & ~st["all_conv"]
+        return ((st["it"] < jnp.minimum(st["chunk_end"],
+                                        cfg.max_iterations))
+                & ~st["all_conv"])
 
     def body(st):
         V, AV = st["V"], st["AV"]
@@ -160,7 +185,7 @@ def _engine(cfg: ResolvedConfig, A: LinearOperator,
             Vn, AVn, mn = new
 
         out = dict(
-            V=Vn, AV=AVn, m=mn, it=it + 1,
+            V=Vn, AV=AVn, m=mn, it=it + 1, chunk_end=st["chunk_end"],
             has_conv=has_conv, all_conv=all_conv,
             evals=w[:k], evecs=X[:, :k], errors=errors,
             history=history, dims=dims,
@@ -171,8 +196,10 @@ def _engine(cfg: ResolvedConfig, A: LinearOperator,
             out = constrain(out)
         return out
 
-    final = jax.lax.while_loop(cond, body, state)
+    return jax.lax.while_loop(cond, body, state)
 
+
+def pack_result(final: dict) -> DavidsonResult:
     return DavidsonResult(
         eigenvalues=final["evals"],
         eigenvectors=final["evecs"],
@@ -183,6 +210,14 @@ def _engine(cfg: ResolvedConfig, A: LinearOperator,
         residual_history=final["history"],
         subspace_dims=final["dims"],
     )
+
+
+def _engine(cfg: ResolvedConfig, A: LinearOperator,
+            B: Optional[LinearOperator],
+            constrain=None) -> DavidsonResult:
+    state = init_state(cfg, A, B, constrain=constrain)
+    final = run_state(cfg, A, B, state, constrain=constrain)
+    return pack_result(final)
 
 
 _ENGINE_CACHE: dict = {}
@@ -205,3 +240,49 @@ def get_engine(cfg: ResolvedConfig, constrain=None):
         fn = jax.jit(run)
         _ENGINE_CACHE[key] = fn
     return fn
+
+
+_STEPPER_CACHE: dict = {}
+
+
+def get_stepper(cfg: ResolvedConfig, constrain=None):
+    """(init, step) pair of jitted functions over an explicit state pytree.
+
+    ``init(A, B) -> state``; ``step(A, B, state) -> state`` iterates up to
+    ``state['chunk_end']``. The explicit state is what enables
+    checkpoint/resume and per-chunk observability without giving up the
+    compiled while_loop.
+    """
+    key = (cfg, constrain)
+    pair = _STEPPER_CACHE.get(key)
+    if pair is None:
+        init = jax.jit(lambda A, B: init_state(cfg, A, B, constrain=constrain))
+        step = jax.jit(
+            lambda A, B, st: run_state(cfg, A, B, st, constrain=constrain))
+        pair = (init, step)
+        _STEPPER_CACHE[key] = pair
+    return pair
+
+
+def run_chunked(cfg: ResolvedConfig, A: LinearOperator,
+                B: Optional[LinearOperator], *, every: int,
+                callbacks=(), state: Optional[dict] = None,
+                constrain=None) -> DavidsonResult:
+    """Chunked driver: run ``every`` iterations per device dispatch, then
+    sync to host and invoke ``callbacks(state)`` — the hook point for
+    checkpointing, convergence logging, and profiler steps. Semantics are
+    identical to the one-shot engine (the while_loop's exit conditions
+    are re-evaluated on device inside every chunk)."""
+    init, step = get_stepper(cfg, constrain)
+    st = init(A, B) if state is None else state
+    it = int(st["it"])
+    while True:
+        end = min(it + every, cfg.max_iterations)
+        st = dict(st)
+        st["chunk_end"] = jnp.asarray(end, jnp.int32)
+        st = step(A, B, st)
+        it = int(st["it"])  # host sync once per chunk
+        for cb in callbacks:
+            cb(st)
+        if bool(st["all_conv"]) or it >= cfg.max_iterations:
+            return pack_result(st)

@@ -98,10 +98,20 @@ class ELLOperator(LinearOperator):
     # -- constructors ---------------------------------------------------
     @classmethod
     def from_coo(cls, rows, cols, vals, n: int, dtype=jnp.float64,
-                 pad_width: Optional[int] = None, chunk: int = 8):
+                 pad_width: Optional[int] = None, chunk: int = 8,
+                 use_native: bool = True):
+        """Build from COO triplets. Assembly runs in the native C++
+        component (``fortran_davidson_tpu.native``) when available, with
+        a bit-identical numpy fallback."""
+        vals_np = np.asarray(vals, np.dtype(jnp.dtype(dtype).name))
+        if use_native:
+            from fortran_davidson_tpu import native
+            out = native.ell_from_coo(np.asarray(rows), np.asarray(cols),
+                                      vals_np, n, pad_width)
+            if out is not None:
+                return cls(out[0], out[1], chunk=chunk)
         idx, val = _ell_from_coo_np(np.asarray(rows), np.asarray(cols),
-                                    np.asarray(vals, jnp.dtype(dtype)), n,
-                                    pad_width)
+                                    vals_np, n, pad_width)
         return cls(idx, val, chunk=chunk)
 
     @classmethod

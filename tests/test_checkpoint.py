@@ -1,0 +1,100 @@
+"""Checkpoint/resume and chunked-driver semantics.
+
+No reference analogue (SURVEY.md §5: "Checkpoint/resume: none") — the
+oracle is the one-shot engine: chunked and resumed solves must reproduce
+its iterates bit-for-bit (same iteration counts, same eigenvalues).
+"""
+
+import numpy as np
+import pytest
+
+import fortran_davidson_tpu as fdt
+from fortran_davidson_tpu.checkpoint import (eigensolve_checkpointed,
+                                             latest_step, restore_state,
+                                             save_state)
+from fortran_davidson_tpu.config import DavidsonOptions, resolve_options
+from fortran_davidson_tpu.core.loop import get_stepper, run_chunked
+from fortran_davidson_tpu.models.generators import generate_diagonal_dominant
+from fortran_davidson_tpu.ops.operators import DenseOperator
+from fortran_davidson_tpu.utils.observability import ConvergenceLogger
+
+
+@pytest.fixture(scope="module")
+def problem():
+    A = generate_diagonal_dominant(80, 1e-3)
+    ref = fdt.eigensolve(A, 3, tolerance=1e-8)
+    ref.block_until_ready()
+    return A, ref
+
+
+class TestChunkedDriver:
+    def test_matches_one_shot(self, problem):
+        A, ref = problem
+        op = DenseOperator(A)
+        cfg = resolve_options(DavidsonOptions(), 3, 80, generalized=False)
+        res = run_chunked(cfg, op, None, every=2)
+        assert int(res.iterations) == int(ref.iterations)
+        np.testing.assert_array_equal(np.asarray(res.eigenvalues),
+                                      np.asarray(ref.eigenvalues))
+
+    def test_convergence_logger_callback(self, problem):
+        A, ref = problem
+        op = DenseOperator(A)
+        cfg = resolve_options(DavidsonOptions(), 3, 80, generalized=False)
+        log = ConvergenceLogger()
+        res = run_chunked(cfg, op, None, every=1, callbacks=(log,))
+        assert len(log.records) == int(res.iterations)
+        assert log.records[-1]["converged_pairs"] == 3
+        # Residuals in the log match the device-side history.
+        hist = np.asarray(res.residual_history)
+        for rec in log.records:
+            row = hist[rec["iteration"] - 1]
+            assert abs(rec["max_residual"] - row.max()) < 1e-14
+
+
+class TestCheckpointResume:
+    def test_save_restore_roundtrip(self, problem, tmp_path):
+        A, _ = problem
+        op = DenseOperator(A)
+        cfg = resolve_options(DavidsonOptions(), 3, 80, generalized=False)
+        init, step = get_stepper(cfg)
+        st = init(op, None)
+        path = save_state(tmp_path, st)
+        assert latest_step(tmp_path) == 0
+        import jax
+        template = jax.eval_shape(lambda: init(op, None))
+        restored = restore_state(str(tmp_path), template)
+        for key in st:
+            np.testing.assert_array_equal(np.asarray(st[key]),
+                                          np.asarray(restored[key]), key)
+
+    def test_checkpointed_solve_matches(self, problem, tmp_path):
+        A, ref = problem
+        res = eigensolve_checkpointed(A, 3, str(tmp_path), every=2)
+        assert int(res.iterations) == int(ref.iterations)
+        np.testing.assert_array_equal(np.asarray(res.eigenvalues),
+                                      np.asarray(ref.eigenvalues))
+        assert latest_step(tmp_path) == int(ref.iterations)
+
+    def test_resume_after_interrupt(self, problem, tmp_path):
+        A, ref = problem
+
+        class Crash(RuntimeError):
+            pass
+
+        def crash_after_first_chunk(state):
+            raise Crash  # simulates the process dying mid-solve
+
+        with pytest.raises(Crash):
+            eigensolve_checkpointed(A, 3, str(tmp_path), every=1,
+                                    callbacks=(crash_after_first_chunk,))
+        saved = latest_step(tmp_path)
+        assert saved == 1  # one chunk survived on disk
+        # Resume (same options — checkpoints are shape-bound to the
+        # configuration): completes with the SAME totals as an
+        # uninterrupted solve.
+        res2 = eigensolve_checkpointed(A, 3, str(tmp_path), every=1)
+        assert bool(res2.converged)
+        assert int(res2.iterations) == int(ref.iterations)
+        np.testing.assert_array_equal(np.asarray(res2.eigenvalues),
+                                      np.asarray(ref.eigenvalues))
