@@ -29,6 +29,12 @@ class OperatorError(DavidsonError, ValueError):
     """Raised for malformed linear operators (shape/dtype/symmetry issues)."""
 
 
+class NumericalError(DavidsonError, ArithmeticError):
+    """Raised when a numerical routine produced non-finite results — the
+    eager equivalent of the reference's ``check_lapack_call`` abort
+    (``src/lapack_wrapper.f90:395-408``)."""
+
+
 def require(cond: bool, exc_type: type, msg: str) -> None:
     if not cond:
         raise exc_type(msg)
