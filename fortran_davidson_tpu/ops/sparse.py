@@ -199,25 +199,26 @@ class BSROperator(LinearOperator):
 
     ``block_cols``: (nbr, K) int32 — block-column index of each stored
     block (padded slots point at the row's own block index).
-    ``blocks``: (nbr, bs, K, bs) — dense blocks in *row-major block*
-    layout: ``blocks[r, :, k, :]`` is the ``bs x bs`` block at
-    ``(r, block_cols[r, k])``. This layout reshapes (free, contiguous) to
-    ``(nbr, bs, K*bs)`` so a whole block row contracts as ONE
+    ``blocks``: (nbr, bs, K*bs) — dense blocks in *row-major block*
+    layout: ``blocks[r, :, k*bs:(k+1)*bs]`` is the ``bs x bs`` block at
+    ``(r, block_cols[r, k])``. A whole block row contracts as ONE
     ``(bs, K*bs) @ (K*bs, m)`` MXU matmul — large dots instead of K small
     ones — in both the XLA einsum path and the Pallas streaming kernel
-    (``backend='pallas'``, TPU only).
+    (``backend='pallas'``, TPU only). The layout is stored 3-D (not
+    reshaped on the fly) because a reshape inside the solver's jitted hot
+    loop materializes the whole table per iteration on TPU.
     """
 
     def __init__(self, block_cols, blocks, backend: str = "xla",
                  bandwidth: Optional[int] = None):
         block_cols = jnp.asarray(block_cols, jnp.int32)
         blocks = jnp.asarray(blocks)
-        require(blocks.ndim == 4 and block_cols.ndim == 2
+        require(blocks.ndim == 3 and block_cols.ndim == 2
                 and blocks.shape[0] == block_cols.shape[0]
-                and blocks.shape[2] == block_cols.shape[1]
-                and blocks.shape[1] == blocks.shape[3],
+                and blocks.shape[2]
+                    == block_cols.shape[1] * blocks.shape[1],
                 OperatorError,
-                f"BSR needs (nbr, K) block_cols and (nbr, bs, K, bs) blocks, "
+                f"BSR needs (nbr, K) block_cols and (nbr, bs, K*bs) blocks, "
                 f"got {block_cols.shape} / {blocks.shape}")
         require(backend in ("xla", "pallas"), OperatorError,
                 f"unknown BSR backend {backend!r}")
@@ -262,7 +263,8 @@ class BSROperator(LinearOperator):
         cols[brows, slot] = bcols
         vals[brows, slot] = block_vals
         return cls(cols.astype(np.int32),
-                   np.ascontiguousarray(vals.transpose(0, 2, 1, 3)),
+                   np.ascontiguousarray(vals.transpose(0, 2, 1, 3)).reshape(
+                       nbr, bs, K * bs),
                    backend=backend)
 
     @classmethod
@@ -289,7 +291,7 @@ class BSROperator(LinearOperator):
 
     @property
     def blocks_per_row(self) -> int:
-        return self.blocks.shape[2]
+        return self.blocks.shape[2] // self.blocks.shape[1]
 
     @property
     def shape(self):
@@ -309,28 +311,35 @@ class BSROperator(LinearOperator):
                 return banded_bsr_spmm(self.blocks, block, bandwidth=bw)
             # Tiny bands fall back to the general scattered-slice kernel.
             return bsr_spmm(self.block_cols, self.blocks, block)
-        nbr, bs, K, _ = self.blocks.shape
+        nbr, bs, kbs = self.blocks.shape
+        K = kbs // bs
         m = block.shape[1]
         xb = block.reshape(nbr, bs, m)
         gathered = jnp.take(xb, self.block_cols, axis=0)   # (nbr, K, bs, m)
-        out = jnp.einsum("rakb,rkbm->ram", self.blocks.astype(block.dtype),
+        gathered = gathered.reshape(nbr, K * bs, m)
+        out = jnp.einsum("rab,rbm->ram", self.blocks.astype(block.dtype),
                          gathered, preferred_element_type=block.dtype)
         return out.reshape(nbr * bs, m)
 
+    def _blocks4(self):
+        nbr, bs, kbs = self.blocks.shape
+        return self.blocks.reshape(nbr, bs, kbs // bs, bs)
+
     def diagonal(self):
-        nbr, bs, K, _ = self.blocks.shape
+        nbr, bs, _ = self.blocks.shape
         own = self.block_cols == jnp.arange(nbr, dtype=jnp.int32)[:, None]
         diag_blocks = jnp.sum(
-            jnp.where(own[:, None, :, None], self.blocks, 0), axis=2)
+            jnp.where(own[:, None, :, None], self._blocks4(), 0), axis=2)
         return jnp.diagonal(diag_blocks, axis1=1, axis2=2).reshape(-1)
 
     def to_dense(self):
-        nbr, bs, K, _ = self.blocks.shape
+        nbr, bs, kbs = self.blocks.shape
+        K = kbs // bs
         n = nbr * bs
         dense = jnp.zeros((nbr, nbr, bs, bs), self.dtype)
         rows = jnp.broadcast_to(jnp.arange(nbr)[:, None], (nbr, K))
         dense = dense.at[rows, self.block_cols].add(
-            self.blocks.transpose(0, 2, 1, 3))
+            self._blocks4().transpose(0, 2, 1, 3))
         return dense.transpose(0, 2, 1, 3).reshape(n, n)
 
     def with_backend(self, backend: str) -> "BSROperator":
@@ -420,5 +429,6 @@ def generate_banded_bsr(n_block_rows: int, bs: int, bandwidth: int = 1,
     r = np.arange(nbr)
     vals[r, r - starts] = dblocks
     return BSROperator(cols.astype(np.int32),
-                       np.ascontiguousarray(vals.transpose(0, 2, 1, 3)),
+                       np.ascontiguousarray(vals.transpose(0, 2, 1, 3)).reshape(
+                           nbr, bs, K * bs),
                        backend=backend, bandwidth=bw)

@@ -44,7 +44,7 @@ class HaloBSROperator(LinearOperator):
 
     def __init__(self, block_cols, blocks, bandwidth: int, mesh: Mesh,
                  axis: str = ROWS_AXIS, _placed: bool = False):
-        # blocks use the (nbr, bs, K, bs) row-major block layout of
+        # blocks use the (nbr, bs, K*bs) row-major block layout of
         # :class:`~fortran_davidson_tpu.ops.sparse.BSROperator`.
         nbr, K = block_cols.shape[:2]
         ndev = mesh.shape[axis]
@@ -59,7 +59,7 @@ class HaloBSROperator(LinearOperator):
                 jnp.asarray(block_cols, jnp.int32),
                 row_sharding(mesh, 2, axis))
             blocks = jax.device_put(jnp.asarray(blocks),
-                                    row_sharding(mesh, 4, axis))
+                                    row_sharding(mesh, 3, axis))
         self.block_cols = block_cols
         self.blocks = blocks
         self.bandwidth = int(bandwidth)
@@ -86,7 +86,8 @@ class HaloBSROperator(LinearOperator):
         return self.blocks.dtype
 
     def matmat(self, block):
-        nbr, bs, K, _ = self.blocks.shape
+        nbr, bs, kbs = self.blocks.shape
+        K = kbs // bs
         ndev = self.mesh.shape[self.axis]
         nbr_l = nbr // ndev
         bw = self.bandwidth
@@ -114,7 +115,8 @@ class HaloBSROperator(LinearOperator):
             # overlaps it with the neighbor transfers.
             gi = jnp.take(xb, jnp.clip(local_idx, 0, nbr_l - 1), axis=0)
             gi = gi * is_local[:, :, None, None].astype(x.dtype)
-            out = jnp.einsum("rakb,rkbm->ram", blks.astype(x.dtype), gi,
+            out = jnp.einsum("rab,rbm->ram", blks.astype(x.dtype),
+                             gi.reshape(nbr_l, -1, m),
                              preferred_element_type=x.dtype)
 
             # Halo contraction over the 2*bw received boundary blocks.
@@ -124,22 +126,24 @@ class HaloBSROperator(LinearOperator):
                                  local_idx - nbr_l + bw)
             gh = jnp.take(xh, jnp.clip(halo_idx, 0, 2 * bw - 1), axis=0)
             gh = gh * (~is_local)[:, :, None, None].astype(x.dtype)
-            out = out + jnp.einsum("rakb,rkbm->ram", blks.astype(x.dtype),
-                                   gh, preferred_element_type=x.dtype)
+            out = out + jnp.einsum("rab,rbm->ram", blks.astype(x.dtype),
+                                   gh.reshape(nbr_l, -1, m),
+                                   preferred_element_type=x.dtype)
             return out.reshape(nbr_l * bs, m)
 
         spec2 = P(axis, None)
         return jax.shard_map(
             local_spmm, mesh=self.mesh,
-            in_specs=(spec2, P(axis, None, None, None), spec2),
+            in_specs=(spec2, P(axis, None, None), spec2),
             out_specs=spec2,
         )(self.block_cols, self.blocks, block)
 
     def diagonal(self):
-        nbr, bs, K, _ = self.blocks.shape
+        nbr, bs, kbs = self.blocks.shape
+        b4 = self.blocks.reshape(nbr, bs, kbs // bs, bs)
         own = self.block_cols == jnp.arange(nbr, dtype=jnp.int32)[:, None]
         diag_blocks = jnp.sum(
-            jnp.where(own[:, None, :, None], self.blocks, 0), axis=2)
+            jnp.where(own[:, None, :, None], b4, 0), axis=2)
         return jnp.diagonal(diag_blocks, axis1=1, axis2=2).reshape(-1)
 
     # -- pytree ----------------------------------------------------------
