@@ -35,18 +35,17 @@ def project_out(V, block):
     return block - jnp.dot(V, coeffs, preferred_element_type=block.dtype)
 
 
-def _filler(shape, dtype):
-    """Deterministic pseudo-random directions for dead columns.
-
-    When a correction column vanishes (e.g. an exactly-converged pair has a
-    zero residual), the reference's full Householder QR silently completes
-    the basis with an arbitrary orthonormal direction
-    (``src/lapack_wrapper.f90:214-231`` never fails); a zero column here
-    would instead poison the projected problem (singular B-Gram =>
-    Cholesky NaN). We match the reference's "arbitrary direction" behavior
-    with a fixed-key pseudo-random filler.
-    """
-    return jax.random.normal(jax.random.PRNGKey(0xDA71D50), shape, dtype)
+# NOTE on vanished correction columns: the reference's full Householder QR
+# silently completes them with arbitrary orthonormal directions
+# (``src/lapack_wrapper.f90:214-231`` never fails). We deliberately do NOT
+# reproduce that: an arbitrary (random) direction has a Rayleigh quotient
+# of order mean(diag A), and on wide-spectrum problems (diag up to ~n) it
+# inflates ||H|| until the working-precision eigh can no longer resolve
+# the *small* Ritz values — at float32 this destroys convergence outright
+# (residuals jump from 1e-4 back to 1e-1). A column whose post-projection
+# norm collapses relative to its pre-projection norm is cancellation
+# noise, not information: it is DROPPED (zeroed), shrinking the effective
+# expansion — the numerically meaningful part of the reference schedule.
 
 
 def orthonormalize_block(V, block, mask, n_reorth: int = 2,
@@ -66,29 +65,31 @@ def orthonormalize_block(V, block, mask, n_reorth: int = 2,
     """
     dt = block.dtype
     block = block * mask[None, :]
+    norms_before = jnp.linalg.norm(block, axis=0)
     for _ in range(n_reorth):
         block = project_out(V, block)
-    # Revive dead active columns (vanished after projection against V) with
-    # arbitrary directions, as the reference's Householder QR would.
-    norms_in = jnp.linalg.norm(block, axis=0)
-    scale = jnp.maximum(jnp.max(norms_in), 1.0)
-    dead = mask.astype(bool) & (norms_in <= 64 * jnp.finfo(dt).eps * scale)
-    fill = project_out(V, _filler(block.shape, dt) * mask[None, :])
-    block = jnp.where(dead[None, :], fill, block)
+    # Drop columns that lost (nearly) all their mass to the projection —
+    # whatever survives is dominated by roundoff of the subtraction, not
+    # by a new search direction (see module note above). sqrt(eps) is the
+    # classic selective-reorthogonalization threshold.
+    norms_after = jnp.linalg.norm(block, axis=0)
+    drop_tol = jnp.sqrt(jnp.finfo(dt).eps)
+    alive = (norms_after > drop_tol * jnp.maximum(
+        norms_before, jnp.finfo(dt).tiny)) & mask.astype(bool)
+    block = block * alive[None, :].astype(dt)
+    mask = mask * alive.astype(dt)
     # Intra-block orthonormalization. Active columns form a prefix, so the
     # leading columns of Q from a thin QR span them; trailing Q columns are
     # arbitrary orthonormal directions and get masked back to zero.
     if method == "qr":
         q, _ = jnp.linalg.qr(block)
+        q = q * mask[None, :]
     else:
-        # CholeskyQR2 on column-normalized data (padded columns pass
-        # through as zeros via the unit Gram diagonal).
-        norms0 = jnp.linalg.norm(block, axis=0)
-        inv0 = jnp.where(norms0 > 0, 1.0 / jnp.where(norms0 > 0, norms0, 1.0),
-                         0.0)
-        q, _ = cholqr2(block * inv0[None, :], unit_diag=mask,
-                       jitter=64.0 * jnp.finfo(dt).eps)
-    q = q * mask[None, :]
+        # Rank-revealing SVQB: rank-deficient correction blocks shed their
+        # null directions, and the kept basis is compacted into a column
+        # prefix (no mask multiply — kept columns need not align with the
+        # input mask positions).
+        q = svqb(block, mask)
     # One more sweep against V: the QR completes zero/near-zero columns with
     # arbitrary directions that may have components in span(V).
     q = project_out(V, q)
@@ -131,6 +132,52 @@ def cholqr2(X, unit_diag=None, jitter: float = 0.0):
     Q1, R1 = cholqr_once(X, unit_diag, jitter)
     Q2, R2 = cholqr_once(Q1, unit_diag, jitter)
     return Q2, jnp.dot(R2, R1, preferred_element_type=X.dtype)
+
+
+def svqb(block, mask, rank_rtol=None):
+    """SVQB (Stathopoulos & Wu 2002): rank-revealing block
+    orthonormalization via the eigendecomposition of the Gram matrix.
+
+    Returns a block whose columns are an orthonormal basis of the
+    *numerical* column space — directions whose Gram eigenvalue falls
+    below ``rank_rtol * s_max`` are dropped (zero columns), instead of
+    being completed with arbitrary vectors the way Householder QR (and
+    the reference's DGEQRF) would. On wide-spectrum problems arbitrary
+    completions carry O(mean diag) Rayleigh quotients and wreck the
+    projected eigenproblem at working precision; dropping is the
+    numerically meaningful behavior. Correction blocks are routinely
+    rank-deficient (near-converged pairs, separable operators), so this
+    is the solver's default intra-block orthonormalization.
+
+    ``mask``: active-column mask (inactive columns must be zero and stay
+    zero). Column order is not preserved (it is a basis, not a pivoted
+    factorization).
+    """
+    dt = block.dtype
+    m_max = block.shape[1]
+    norms = jnp.linalg.norm(block, axis=0)
+    inv = jnp.where(norms > 0, 1.0 / jnp.where(norms > 0, norms, 1.0), 0.0)
+    Bh = block * inv[None, :]
+    active = (norms > 0).astype(dt) * mask
+    G = jnp.dot(Bh.T, Bh, preferred_element_type=dt)
+    G = G + jnp.diag(1.0 - active)  # unit rows for inactive/zero columns
+    s, U = jnp.linalg.eigh(G)
+    if rank_rtol is None:
+        rank_rtol = m_max * float(jnp.finfo(dt).eps)
+    keep = s > rank_rtol * s[-1]
+    factor = jnp.where(keep, jax.lax.rsqrt(jnp.maximum(s, jnp.finfo(dt).tiny)),
+                       0.0).astype(dt)
+    Q = jnp.dot(Bh, U * factor[None, :], preferred_element_type=dt)
+    # Refinement pass (the CholQR2 second sweep) on the surviving columns.
+    alive = (jnp.sum(Q * Q, axis=0) > 0.5).astype(dt)
+    Q, _ = cholqr_once(Q * alive[None, :], unit_diag=alive)
+    Q = Q * alive[None, :]
+    # Kept directions come out in eigh order, interleaved with zero
+    # columns (dropped noise sorts first, the padded unit block wherever
+    # its eigenvalue lands). Compact them into a prefix so the caller can
+    # place the block by column count alone.
+    order = jnp.argsort(jnp.logical_not(alive.astype(bool)), stable=True)
+    return Q[:, order]
 
 
 def thin_qr_collapse(X, method: str = "cholqr2"):

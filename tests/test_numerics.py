@@ -193,3 +193,56 @@ class TestRelativeTolerance:
         assert bool(res.converged)
         lam = np.abs(np.asarray(res.eigenvalues))
         assert np.all(np.asarray(res.residual_norms) < 1e-10 * np.maximum(lam, 1))
+
+
+class TestWideSpectrumFloat32:
+    """Wide-spectrum (diag ~ n) float32 solves at scale: arbitrary basis
+    completions or surviving cancellation noise inflate ||H|| and destroy
+    the projected eigh's resolution of the low eigenvalues (observed as
+    NaN / residuals regressing to 1e-1 at n >= 1M). SVQB dropping +
+    the ratio drop test keep the basis low-energy."""
+
+    def test_rank_deficient_corrections_converge(self):
+        import jax.numpy as jnp
+        import fortran_davidson_tpu as fdt
+        from fortran_davidson_tpu.models.generators import \
+            surrogate_hamiltonian
+        # The separable surrogate has numerically rank-2 correction
+        # blocks — the hard case. 100k rows keeps CPU runtime small while
+        # still exhibiting the failure with filler-style completion.
+        op = surrogate_hamiltonian(100_096, dtype=jnp.float32)
+        res = fdt.eigensolve(op, 4, method="DPR", tolerance=1e-3,
+                             max_iterations=30, dtype="float32",
+                             relative_tolerance=True)
+        res.block_until_ready()
+        assert bool(res.converged)
+        lam = np.abs(np.asarray(res.eigenvalues))
+        assert np.all(np.asarray(res.residual_norms)
+                      < 1e-3 * np.maximum(lam, 1))
+        np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                                   [1.0, 2.0, 3.0, 4.0], atol=2e-3)
+        # Residual history must be monotone-ish: no catastrophic regression
+        # after expansions (the failure signature).
+        h = np.asarray(res.residual_history)
+        h = h[: int(res.iterations)]
+        assert not np.isnan(h).any()
+
+    def test_svqb_drops_rank_deficiency(self, rng):
+        import jax.numpy as jnp
+        from fortran_davidson_tpu.core.orthogonal import svqb
+        # 6 masked columns spanning only a 2-D space.
+        U = rng.standard_normal((50, 2))
+        C = rng.standard_normal((2, 6))
+        block = jnp.asarray(U @ C)
+        mask = jnp.asarray([1.0] * 6 + [0.0] * 2)
+        block = jnp.pad(block, ((0, 0), (0, 2))) * mask[None, :]
+        Q = np.asarray(svqb(block, mask))
+        norms = np.linalg.norm(Q, axis=0)
+        assert (norms > 0.5).sum() == 2          # numerical rank kept
+        assert np.all(norms[2:] < 1e-12)         # compacted prefix
+        kept = Q[:, :2]
+        np.testing.assert_allclose(kept.T @ kept, np.eye(2), atol=1e-12)
+        # kept spans the column space
+        P = kept @ kept.T
+        B = np.asarray(block[:, :6])
+        np.testing.assert_allclose(P @ B, B, atol=1e-10)
