@@ -12,7 +12,13 @@ hostile to XLA's static-shape compilation model. We therefore use two
   SpMM is a chunked gather + einsum — dense, static-shape work that XLA
   maps onto the VPU/MXU, with the chunk size bounding peak memory. This is
   the CSR equivalent for unstructured ~k-nnz/row matrices (BASELINE
-  config 3).
+  config 3). Performance note: truly unstructured row gathers run at the
+  TPU gather-engine rate (~6e9 nnz/s measured on v5e across every XLA
+  formulation — take / at.get / per-slot variants alike), far below the
+  streaming roofline; matrices with *any* structure should use
+  :class:`BSROperator` (banded/windowed Pallas kernel, ~2000x faster per
+  nnz) or a matrix-free operator. Unstructured ELL is the portability
+  fallback, not the performance path.
 - **BSR** (``BSROperator``): block rows store exactly ``K`` dense
   ``bs x bs`` blocks (block-ELL). The SpMM gathers ``bs x m`` slices of
   the input block and contracts them against the stored blocks in one
@@ -370,13 +376,15 @@ def generate_sparse_diagonal_dominant(n: int, nnz_per_row: int,
     Host-side numpy construction (one-time setup).
     """
     rng = np.random.default_rng(seed)
-    # Sample i<j pairs; each row contributes ~nnz_per_row/2 upper entries,
-    # symmetrization brings the expected row count to ~nnz_per_row.
+    # Sample unordered pairs uniformly (drawing j from (i, n) would bias
+    # entries toward high rows and blow up the padded ELL width); each
+    # row then receives ~Poisson(nnz_per_row - 1) off-diagonal entries.
     n_pairs = max(n * max(nnz_per_row - 1, 0) // 2, 0)
     dt = np.dtype(jnp.dtype(dtype).name)
     if n_pairs and n > 1:
-        i = rng.integers(0, n - 1, n_pairs)
-        j = rng.integers(i + 1, n)
+        i = rng.integers(0, n, n_pairs)
+        j = rng.integers(0, n - 1, n_pairs)
+        j = np.where(j >= i, j + 1, j)  # uniform over j != i
         v = (rng.random(n_pairs).astype(dt)) * sparsity
         rows = np.concatenate([i, j, np.arange(n)])
         cols = np.concatenate([j, i, np.arange(n)])
