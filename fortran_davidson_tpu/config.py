@@ -40,6 +40,12 @@ class DavidsonOptions:
         ``None`` chooses ``min(n, 128)`` (effectively exact for the small
         parity problems, bounded for large ones).
       gjd_inner_tol: relative residual tolerance of the inner GJD solve.
+      gjd_preconditioner: "none" (reference semantics — the reference's
+        GJD has no preconditioning) or "dpr" (floored symmetric diagonal
+        scaling of the correction equation; can cut inner MINRES
+        iterations on strongly diagonal-dominant operators, but may slow
+        outer convergence when Ritz values sit close to diagonal
+        entries — benchmark per problem).
       n_reorth: CGS passes when orthogonalizing new blocks (2 = CGS2).
       relative_tolerance: if True, pair j converges when
         ``||r_j|| < tolerance * max(|lambda_j|, 1)`` instead of the
@@ -60,6 +66,7 @@ class DavidsonOptions:
     sticky_convergence: bool = True
     gjd_inner_iters: Optional[int] = None
     gjd_inner_tol: float = 1e-12
+    gjd_preconditioner: str = "none"
     n_reorth: int = 2
     relative_tolerance: bool = False
     orthonormalization: str = "cholqr2"
@@ -73,6 +80,9 @@ class DavidsonOptions:
         require(self.orthonormalization in ("cholqr2", "qr"),
                 InvalidOptionsError,
                 f"unknown orthonormalization {self.orthonormalization!r}")
+        require(self.gjd_preconditioner in ("none", "dpr"),
+                InvalidOptionsError,
+                f"unknown gjd_preconditioner {self.gjd_preconditioner!r}")
         jnp.dtype(self.dtype)  # raises on nonsense
 
 
@@ -90,6 +100,7 @@ class ResolvedConfig:
     sticky: bool
     gjd_inner_iters: int
     gjd_inner_tol: float
+    gjd_precond: str
     n_reorth: int
     relative: bool
     ortho: str
@@ -150,6 +161,7 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
         sticky=opts.sticky_convergence,
         gjd_inner_iters=int(inner),
         gjd_inner_tol=float(opts.gjd_inner_tol),
+        gjd_precond=str(opts.gjd_preconditioner),
         n_reorth=int(opts.n_reorth),
         relative=bool(opts.relative_tolerance),
         ortho=str(opts.orthonormalization),

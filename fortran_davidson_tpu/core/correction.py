@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from fortran_davidson_tpu.core.krylov import minres_block
@@ -65,8 +66,20 @@ def _pseudo_projector(X):
 
 
 def gjd_correction(apply_a: Callable, apply_b: Optional[Callable], lam, X, R,
-                   mask, inner_iters: int, inner_tol: float):
+                   mask, inner_iters: int, inner_tol: float,
+                   diag_a=None, diag_b=None):
     """GJD correction via batched matrix-free MINRES.
+
+    When the operator diagonals are supplied, the per-pair correction
+    equation is symmetrically scaled by the DPR diagonal,
+    ``D_j = |lambda_j B_ii - A_ii|``: solve
+    ``D^-1/2 P (A - lambda B) P D^-1/2 y = -D^-1/2 r`` and set
+    ``t = D^-1/2 y``. The solution is identical in exact arithmetic, but
+    MINRES converges on the scaled spectrum — for diagonal-dominant
+    operators this collapses the inner iteration count the same way the
+    DPR preconditioner powers the outer iteration. (The reference's GJD
+    has no preconditioning at all: it factorizes the dense n x n system
+    with DSYSV, ``src/davidson.f90:719-732``.)
 
     Args:
       apply_a / apply_b: block operator applications (apply_b None => B=I).
@@ -76,6 +89,8 @@ def gjd_correction(apply_a: Callable, apply_b: Optional[Callable], lam, X, R,
       mask: (m_max,) active-column mask.
       inner_iters: static cap on MINRES iterations.
       inner_tol: relative residual tolerance of the inner solve.
+      diag_a / diag_b: operator diagonals enabling the DPR scaling
+        (``diag_b`` None means B = I for the scaling).
     """
     proj = _pseudo_projector(X)
 
@@ -88,6 +103,24 @@ def gjd_correction(apply_a: Callable, apply_b: Optional[Callable], lam, X, R,
         return proj(shifted(proj(T)))
 
     rhs = -(R * mask[None, :])
-    t = minres_block(op, rhs, maxiter=inner_iters, rtol=inner_tol,
-                     col_active=mask)
-    return t * mask[None, :]
+
+    if diag_a is None:
+        t = minres_block(op, rhs, maxiter=inner_iters, rtol=inner_tol,
+                         col_active=mask)
+        return t * mask[None, :]
+
+    # The DPR denominator vanishes near the Ritz coordinate (lambda ~
+    # A_ii), where unbounded scaling would amplify the operator's
+    # near-null direction and stall MINRES; the floor caps the scaling
+    # condition number while still flattening the bulk diagonal spread.
+    db = jnp.ones_like(diag_a) if diag_b is None else diag_b
+    den = jnp.abs(lam[None, :] * db[:, None] - diag_a[:, None])
+    floor = 1e-2 * jnp.mean(den, axis=0, keepdims=True)
+    sc = jax.lax.rsqrt(jnp.maximum(den, jnp.maximum(floor, 1e-30)))
+
+    def op_scaled(T):
+        return sc * op(sc * T)
+
+    y = minres_block(op_scaled, sc * rhs, maxiter=inner_iters,
+                     rtol=inner_tol, col_active=mask)
+    return (sc * y) * mask[None, :]

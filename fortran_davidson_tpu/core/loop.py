@@ -140,9 +140,12 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             if cfg.method == "DPR":
                 corr = corr_mod.dpr_correction(R, w, diag_a, diag_b, mask)
             else:
+                precond = cfg.gjd_precond == "dpr"
                 corr = corr_mod.gjd_correction(
                     A.matmat, B.matmat if gen else None, w, X, R, mask,
-                    cfg.gjd_inner_iters, cfg.gjd_inner_tol)
+                    cfg.gjd_inner_iters, cfg.gjd_inner_tol,
+                    diag_a=diag_a if precond else None,
+                    diag_b=diag_b if (precond and gen) else None)
             Q = orthogonal.orthonormalize_block(V, corr, mask,
                                                 n_reorth=cfg.n_reorth,
                                                 method=cfg.ortho)

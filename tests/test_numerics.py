@@ -246,3 +246,24 @@ class TestWideSpectrumFloat32:
         P = kept @ kept.T
         B = np.asarray(block[:, :6])
         np.testing.assert_allclose(P @ B, B, atol=1e-10)
+
+
+class TestGJDPreconditioner:
+    def test_dpr_scaling_converges_to_same_answer(self):
+        import fortran_davidson_tpu as fdt
+        from fortran_davidson_tpu.models.generators import \
+            generate_diagonal_dominant
+        A = generate_diagonal_dominant(60, 1e-3)
+        base = fdt.eigensolve(A, 3, method="GJD", tolerance=1e-8)
+        pre = fdt.eigensolve(A, 3, method="GJD", tolerance=1e-8,
+                             gjd_preconditioner="dpr", max_iterations=200)
+        assert bool(base.converged) and bool(pre.converged)
+        np.testing.assert_allclose(np.asarray(pre.eigenvalues),
+                                   np.asarray(base.eigenvalues), atol=1e-8)
+
+    def test_unknown_preconditioner_raises(self):
+        import fortran_davidson_tpu as fdt
+        import pytest as _pytest
+        from fortran_davidson_tpu.utils.errors import InvalidOptionsError
+        with _pytest.raises(InvalidOptionsError):
+            fdt.DavidsonOptions(gjd_preconditioner="wat")
