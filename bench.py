@@ -53,12 +53,19 @@ def _device_hbm_gbps() -> float:
 
 
 def bench_bsr_spmm():
-    """Banded BSR SpMM: 128x128 blocks, bandwidth 2, m=128 vectors."""
+    """Banded BSR SpMM: 128x128 blocks, bandwidth 2, m=256 vectors."""
     from fortran_davidson_tpu.ops.sparse import generate_banded_bsr
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        nbr, bs, bw, m = 4096, 128, 2, 128
+        # m = 256: a realistic Davidson basis width for lowest-20 problems
+        # (subspace cap ~320) and two 128-lane MXU output strips. At
+        # m = 128 this op is MXU *weight-load* bound (every block is
+        # single-use, so the systolic array spends half its cycles loading
+        # weights for one output strip) — wider vector blocks raise
+        # throughput per nnz: measured 1.31e13 (m=128) -> 2.05e13 (m=256)
+        # -> 2.85e13 (m=512) effective nnz/s on v5e.
+        nbr, bs, bw, m = 4096, 128, 2, 256
     else:  # CPU smoke-scale so local runs stay fast
         nbr, bs, bw, m = 64, 32, 2, 8
     base = generate_banded_bsr(nbr, bs, bandwidth=bw, coupling=1e-3,
@@ -108,18 +115,26 @@ def bench_bsr_spmm():
 
     # Theoretical minimum traffic at the winning precision: stream the
     # blocks once, read x once (+ halo overlap of the row-tile windows),
-    # write the f32 output once.
+    # write the output once.
     item = 2 if variant == "bf16" else 4
     from fortran_davidson_tpu.ops.pallas_kernels import _TILE_R
     W = _TILE_R + 2 * bw
     bytes_min = (nnz * item                       # blocks
                  + (nbr // _TILE_R) * W * bs * m * item   # x windows
-                 + n * m * 4)                     # f32 output
+                 + n * m * item)                  # output
     roofline_t = bytes_min / (_device_hbm_gbps() * 1e9)
+    # Single-use-weight MXU bound: each (bs, bs) block costs ~bs cycles of
+    # weight load per 128-wide output strip on one of the chip's MXUs —
+    # the binding limit for this op shape once HBM is fast enough.
+    n_mxu = 4
+    clock_hz = 0.94e9
+    weight_load_t = (nnz / bs) * max(1, -(-m // 128)) / n_mxu / clock_hz
     return dict(
         nnz=nnz, m=m, n=n, variant=variant, time_per_spmm_s=t_best,
         eff_nnz_per_s=eff_nnz_per_s,
         frac_of_hbm_roofline=roofline_t / t_best,
+        mxu_weight_load_bound_s=weight_load_t,
+        frac_of_op_light_speed=max(roofline_t, weight_load_t) / t_best,
         timings={k: v for k, v in results.items()},
     )
 

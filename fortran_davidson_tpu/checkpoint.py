@@ -19,7 +19,7 @@ from typing import Optional
 import jax
 
 from fortran_davidson_tpu.config import (DavidsonOptions, DavidsonResult,
-                                         resolve_options)
+                                         merge_options, resolve_options)
 from fortran_davidson_tpu.core.loop import get_stepper, run_chunked
 from fortran_davidson_tpu.ops.operators import as_operator
 from fortran_davidson_tpu.utils.dtypes import canonical_dtype
@@ -93,9 +93,7 @@ def eigensolve_checkpointed(matrix, lowest: int, directory: str,
     sized by ``max_iterations``): resume with the SAME options that wrote
     the checkpoint.
     """
-    opts = options or DavidsonOptions()
-    if overrides:
-        opts = DavidsonOptions(**{**opts.__dict__, **overrides})
+    opts = merge_options(options, overrides)
     dt = canonical_dtype(opts.dtype)
 
     A = as_operator(matrix, dtype=dt)

@@ -108,6 +108,15 @@ class ResolvedConfig:
     generalized: bool
 
 
+def merge_options(options: Optional[DavidsonOptions],
+                  overrides: dict) -> DavidsonOptions:
+    """Options + keyword overrides -> validated DavidsonOptions."""
+    opts = options or DavidsonOptions()
+    if overrides:
+        opts = DavidsonOptions(**{**dataclasses.asdict(opts), **overrides})
+    return opts
+
+
 def subspace_cap(init_dim: int, max_dim: int) -> int:
     """Largest subspace dimension the doubling schedule can reach.
 

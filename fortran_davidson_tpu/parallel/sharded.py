@@ -28,7 +28,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fortran_davidson_tpu.config import (DavidsonOptions, DavidsonResult,
-                                         resolve_options)
+                                         merge_options, resolve_options)
 from fortran_davidson_tpu.core.loop import get_engine
 from fortran_davidson_tpu.ops.operators import (DenseOperator,
                                                 DiagonalOperator,
@@ -87,7 +87,7 @@ def shard_operator(op: LinearOperator, mesh: Mesh,
         return ELLOperator(put(op.indices), put(op.values), chunk=op.chunk)
     if isinstance(op, BSROperator):
         return BSROperator(put(op.block_cols), put(op.blocks),
-                           backend=op.backend)
+                           backend=op.backend, bandwidth=op.bandwidth)
     if isinstance(op, MatrixFreeOperator):
         captured = tuple(
             put(c) if getattr(c, "ndim", 0) >= 1 and c.shape[0] == n else c
@@ -109,9 +109,7 @@ def eigensolve_sharded(matrix, lowest: int, mesh: Mesh, second_matrix=None,
     Same contract as :func:`fortran_davidson_tpu.solver.eigensolve`, with
     the operator and the solver's tall state distributed over ``mesh``.
     """
-    opts = options or DavidsonOptions()
-    if overrides:
-        opts = DavidsonOptions(**{**opts.__dict__, **overrides})
+    opts = merge_options(options, overrides)
     dt = canonical_dtype(opts.dtype)
 
     A = shard_operator(as_operator(matrix, dtype=dt), mesh, axis)

@@ -21,7 +21,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from fortran_davidson_tpu.config import (DavidsonOptions, DavidsonResult,
-                                         resolve_options)
+                                         merge_options, resolve_options)
 from fortran_davidson_tpu.core.loop import get_engine
 from fortran_davidson_tpu.ops.operators import LinearOperator, as_operator
 from fortran_davidson_tpu.utils.dtypes import canonical_dtype
@@ -45,9 +45,7 @@ def eigensolve(matrix, lowest: int, second_matrix=None,
     Returns:
       DavidsonResult.
     """
-    opts = options or DavidsonOptions()
-    if overrides:
-        opts = DavidsonOptions(**{**opts.__dict__, **overrides})
+    opts = merge_options(options, overrides)
     dt = canonical_dtype(opts.dtype)
 
     A = as_operator(matrix, dtype=dt)
