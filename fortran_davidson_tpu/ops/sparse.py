@@ -309,23 +309,33 @@ class BSROperator(LinearOperator):
         return self.blocks.dtype
 
     def matmat(self, block):
+        # Mixed precision: with sub-32-bit stored blocks (bf16 operators)
+        # the input block is cast DOWN for the contraction and the result
+        # accumulated/returned at the input's precision — the bandwidth/
+        # MXU win of bf16 storage without changing the solver's dtype.
+        target = block.dtype
+        compute = self.dtype if jnp.dtype(self.dtype).itemsize < \
+            jnp.dtype(target).itemsize else target
         if self.backend == "pallas":
             from fortran_davidson_tpu.ops.pallas_kernels import (
                 _TILE_R, banded_bsr_spmm, bsr_spmm)
             bw = self.bandwidth
+            x = block.astype(compute)
             if bw is not None and self.n_block_rows >= _TILE_R + 2 * bw:
-                return banded_bsr_spmm(self.blocks, block, bandwidth=bw)
+                return banded_bsr_spmm(self.blocks.astype(compute), x,
+                                       bandwidth=bw, out_dtype=target)
             # Tiny bands fall back to the general scattered-slice kernel.
-            return bsr_spmm(self.block_cols, self.blocks, block)
+            return bsr_spmm(self.block_cols, self.blocks.astype(compute), x,
+                            out_dtype=target)
         nbr, bs, kbs = self.blocks.shape
         K = kbs // bs
         m = block.shape[1]
-        xb = block.reshape(nbr, bs, m)
+        xb = block.astype(compute).reshape(nbr, bs, m)
         gathered = jnp.take(xb, self.block_cols, axis=0)   # (nbr, K, bs, m)
         gathered = gathered.reshape(nbr, K * bs, m)
-        out = jnp.einsum("rab,rbm->ram", self.blocks.astype(block.dtype),
-                         gathered, preferred_element_type=block.dtype)
-        return out.reshape(nbr * bs, m)
+        out = jnp.einsum("rab,rbm->ram", self.blocks.astype(compute),
+                         gathered, preferred_element_type=target)
+        return out.reshape(nbr * bs, m).astype(target)
 
     def _blocks4(self):
         nbr, bs, kbs = self.blocks.shape
@@ -351,6 +361,12 @@ class BSROperator(LinearOperator):
     def with_backend(self, backend: str) -> "BSROperator":
         return BSROperator(self.block_cols, self.blocks, backend=backend,
                            bandwidth=self.bandwidth)
+
+    def astype(self, dtype) -> "BSROperator":
+        """Recast stored blocks (e.g. to bfloat16 for mixed-precision
+        solves: f32 solver iterates, bf16 operator storage/MXU)."""
+        return BSROperator(self.block_cols, self.blocks.astype(dtype),
+                           backend=self.backend, bandwidth=self.bandwidth)
 
     # -- pytree ----------------------------------------------------------
     def tree_flatten(self):

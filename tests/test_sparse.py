@@ -164,3 +164,34 @@ class TestPallasBSR:
         np.testing.assert_allclose(np.asarray(p.matmat(X)),
                                    np.asarray(op.matmat(X)),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestMixedPrecision:
+    """bf16-stored operators driving f32 solver iterates."""
+
+    def test_bf16_blocks_f32_solve(self):
+        import fortran_davidson_tpu as fdt
+        # diag values < 256 are exact in bf16, so only the tiny coupling
+        # carries representation error.
+        op32 = generate_banded_bsr(16, 8, bandwidth=1, coupling=1e-3,
+                                   seed=12, dtype=jnp.float32)
+        op16 = op32.astype(jnp.bfloat16)
+        X = jnp.ones((op32.shape[0], 4), jnp.float32)
+        out = op16.matmat(X)
+        assert out.dtype == jnp.float32
+        ref = fdt.eigensolve(op32, 3, tolerance=1e-4, dtype="float32")
+        res = fdt.eigensolve(op16, 3, tolerance=1e-2, dtype="float32")
+        res.block_until_ready()
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                                   np.asarray(ref.eigenvalues), atol=1e-2)
+
+    def test_bf16_pallas_path(self, rng):
+        op = generate_banded_bsr(16, 8, bandwidth=1, coupling=1e-3,
+                                 seed=13, dtype=jnp.float32)
+        p16 = op.astype(jnp.bfloat16).with_backend("pallas")
+        X = jnp.asarray(rng.standard_normal((op.shape[0], 8)), jnp.float32)
+        out = p16.matmat(X)
+        assert out.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(out), np.asarray(op.matmat(X)),
+                                   rtol=3e-2, atol=3e-2)
