@@ -157,30 +157,75 @@ def bsr_spmm(block_cols, blocks, x, *, interpret: bool | None = None,
 _N_WINDOW_BUFFERS = 4  # ring depth: windows fetched 3 tiles ahead
 
 
-def _banded_kernel_db(nbr_ref, blocks_ref, x_hbm, out_ref, xbuf, sem, *,
-                      K: int, bw: int, W: int):
-    """Banded-window kernel: x windows are prefetched several tiles ahead
-    into a ring of VMEM buffers (scratch persists across the sequential
-    TPU grid). Measured on v5e: depth-3 prefetch cuts the SpMM from
-    5.7 ms to 3.3 ms at 4096x4096 blocks/bw=2/m=128 — beyond depth 3 the
-    kernel is HBM-bound."""
+def _banded_kernel(blocks_ref, x_hbm, out_ref, xbuf, sem, *,
+                   K: int, bw: int, W: int, nbr: int):
+    """DIA-aligned banded-window kernel.
+
+    Storage rule: slot k of row r holds the block for column r - bw + k
+    (zero block when out of range), so row i of a tile always contracts
+    against buffer rows [i*bs, (i+K)*bs) of the tile's VIRTUAL window
+    [tile*R - bw, tile*R + R + bw) — a fully static inner loop with no
+    edge branches. Edge tiles fetch only the window's valid span into
+    the right buffer offset; the stale remainder multiplies zero blocks.
+    Windows are prefetched depth-3 into a ring of VMEM buffers (scratch
+    persists across the sequential TPU grid); measured on v5e the kernel
+    is HBM-bound beyond that depth.
+    """
     R = out_ref.shape[0]
     bs = blocks_ref.shape[1]
-    nbr = nbr_ref[0]
     tile = pl.program_id(0)
     ntiles = pl.num_programs(0)
     NB = _N_WINDOW_BUFFERS
     D = NB - 1  # prefetch depth
+    V = W - bw  # valid span (block rows) of an edge tile's window
 
-    def window_start(t):
-        return jnp.clip(t * R - bw, 0, nbr - W)
-
-    def window_dma(slot, t):
+    def edge_top(slot):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(window_start(t) * bs, W * bs), :],
-            xbuf.at[slot],
-            sem.at[slot],
-        )
+            x_hbm.at[pl.ds(0, V * bs), :],
+            xbuf.at[slot, pl.ds(bw * bs, V * bs), :], sem.at[slot])
+
+    def edge_bottom(slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds((nbr - V) * bs, V * bs), :],
+            xbuf.at[slot, pl.ds(0, V * bs), :], sem.at[slot])
+
+    def interior(slot, t):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds((t * R - bw) * bs, W * bs), :],
+            xbuf.at[slot], sem.at[slot])
+
+    def start_window(slot, t):
+        @pl.when(t == 0)
+        def _():
+            edge_top(slot).start()
+
+        @pl.when(t == ntiles - 1)
+        def _():
+            edge_bottom(slot).start()
+
+        @pl.when((t > 0) & (t < ntiles - 1))
+        def _():
+            interior(slot, t).start()
+
+    def wait_window(slot, t):
+        # Edge windows fill only their valid span; the stale remainder is
+        # zeroed (NOT left as-is: it multiplies zero blocks, and
+        # 0 * stale-Inf/NaN would poison the accumulator).
+        @pl.when(t == 0)
+        def _():
+            edge_top(slot).wait()
+            xbuf[slot, 0:bw * bs, :] = jnp.zeros(
+                (bw * bs, xbuf.shape[2]), xbuf.dtype)
+
+        @pl.when(t == ntiles - 1)
+        def _():
+            edge_bottom(slot).wait()
+            xbuf[slot, V * bs:, :] = jnp.zeros(
+                (W * bs - V * bs, xbuf.shape[2]), xbuf.dtype)
+
+        @pl.when((t > 0) & (t < ntiles - 1))
+        def _():
+            interior(slot, t).wait()
 
     slot = tile % NB
 
@@ -189,65 +234,49 @@ def _banded_kernel_db(nbr_ref, blocks_ref, x_hbm, out_ref, xbuf, sem, *,
         # ntiles is static (the grid is static), so the prologue only
         # starts windows for tiles that exist.
         for d in range(min(D, ntiles)):
-            window_dma(d % NB, d).start()
+            start_window(d % NB, d)
 
     @pl.when(tile + D < ntiles)
     def _():
-        window_dma((tile + D) % NB, tile + D).start()
+        start_window((tile + D) % NB, tile + D)
 
-    window_dma(slot, tile).wait()
-    w0 = window_start(tile)
+    wait_window(slot, tile)
 
-    # Interior tiles (everything except the first/last few at the band
-    # edges) have w0 == tile*R - bw and every row unclipped, so row i's
-    # window offset is exactly i — a fully static slice. Unrolling the 8
-    # rows with static slices lets Mosaic schedule the MXU dots
-    # back-to-back; the dynamic-offset path only runs at the edges.
-    interior = (tile * R >= bw) & (tile * R + R - 1 + bw <= nbr - 1)
+    for i in range(R):  # static unroll, static slices — every tile
+        out_ref[i] = jnp.dot(
+            blocks_ref[i], xbuf[slot, i * bs:(i + K) * bs, :],
+            preferred_element_type=_acc_dtype(blocks_ref.dtype),
+        ).astype(out_ref.dtype)
 
-    @pl.when(interior)
-    def _():
-        for i in range(R):  # static unroll
-            out_ref[i] = jnp.dot(
-                blocks_ref[i], xbuf[slot, i * bs:(i + K) * bs, :],
-                preferred_element_type=_acc_dtype(blocks_ref.dtype),
-            ).astype(out_ref.dtype)
 
-    @pl.when(jnp.logical_not(interior))
-    def _():
-        def body(i, carry):
-            r = tile * R + i
-            start_r = jnp.clip(r - bw, 0, nbr - K)
-            off = start_r - w0  # in [0, W - K]
-            out_ref[pl.ds(i, 1)] = jnp.dot(
-                blocks_ref[i], xbuf[slot, pl.ds(off * bs, K * bs), :],
-                preferred_element_type=_acc_dtype(blocks_ref.dtype),
-            )[None].astype(out_ref.dtype)
-            return carry
-
-        jax.lax.fori_loop(0, R, body, 0)
+def banded_pallas_supported(nbr: int, K: int, bandwidth: int) -> bool:
+    """Shape conditions for the DIA windowed-DMA kernel; other banded
+    operators take the general scattered-slice kernel (identical math via
+    the stored column table)."""
+    R = _TILE_R
+    return (K == 2 * bandwidth + 1 and bandwidth < R
+            and nbr % R == 0 and nbr >= 2 * R)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("bandwidth", "interpret", "out_dtype"))
 def banded_bsr_spmm(blocks, x, *, bandwidth: int,
                     interpret: bool | None = None, out_dtype=None):
-    """Banded block-sparse SpMM with implicit column structure.
+    """Banded block-sparse SpMM with implicit (DIA-aligned) columns.
 
-    For a banded BSR matrix (every stored block within ``bandwidth`` block
-    rows of the diagonal, stored in clipped-window order: row ``r`` holds
-    columns ``clip(r - bw, 0, nbr - K) + k``), the K gathered slices per
-    row are CONTIGUOUS rows of ``x`` — so each 8-row tile needs exactly
-    ONE windowed DMA of ``(8 + 2*bw) * bs`` rows instead of ``8 * K``
-    scattered slice fetches. Rows whose stored column order deviates from
-    the window (band edges) must hold zero blocks in the deviating slots
-    (which :func:`~fortran_davidson_tpu.ops.sparse.generate_banded_bsr`
-    and any symmetric band produce naturally).
+    For a banded BSR matrix stored DIA-aligned (slot k of row r holds
+    column ``r - bw + k``; out-of-range slots hold zero blocks — the
+    layout :func:`~fortran_davidson_tpu.ops.sparse.generate_banded_bsr`
+    emits), the K gathered slices per row are CONTIGUOUS rows of ``x`` at
+    a row-invariant offset — each 8-row tile needs ONE windowed DMA of
+    ``(8 + 2*bw) * bs`` rows instead of ``8 * K`` scattered slice
+    fetches, and the MXU loop is branch-free for every tile.
 
     Args:
       blocks: (nbr, bs, K*bs) row-major block layout, K = 2*bandwidth+1.
       x: (nbr * bs, m).
-      bandwidth: block bandwidth bw (static).
+      bandwidth: block bandwidth bw (static). Requires
+        :func:`banded_pallas_supported` shape conditions.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -257,31 +286,23 @@ def banded_bsr_spmm(blocks, x, *, bandwidth: int,
     bw = int(bandwidth)
     R = _TILE_R
     W = R + 2 * bw  # x-window size in block rows
-    if nbr < W or K != 2 * bw + 1:
-        # Degenerate band: fall back to a dense-view contraction via the
-        # general kernel semantics (tiny problems only).
+    if not banded_pallas_supported(nbr, K, bw):
         raise ValueError(
-            f"banded_bsr_spmm needs nbr >= {W} and K == 2*bw+1, got "
-            f"nbr={nbr}, K={K}, bw={bw}")
+            f"banded_bsr_spmm needs K == 2*bw+1, bw < {R}, nbr % {R} == 0 "
+            f"and nbr >= {2 * R}; got nbr={nbr}, K={K}, bw={bw}")
     n_in, m = x.shape
     mp = max(128, -(-m // 128) * 128)
     if mp != m:
         x = jnp.pad(x, ((0, 0), (0, mp - m)))
-    if nbr % R:
-        pad_r = R - nbr % R
-        blocks = jnp.pad(blocks, ((0, pad_r), (0, 0), (0, 0)))
-    nbr_p = blocks.shape[0]
-    blocks2 = blocks
 
-    kernel = functools.partial(_banded_kernel_db, K=K, bw=bw, W=W)
+    kernel = functools.partial(_banded_kernel, K=K, bw=bw, W=W, nbr=nbr)
     out = pl.pallas_call(
         kernel,
-        grid=(nbr_p // R,),
+        grid=(nbr // R,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((R, bs, K * bs), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((R, bs, mp), lambda r: (r, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -289,15 +310,15 @@ def banded_bsr_spmm(blocks, x, *, bandwidth: int,
             pltpu.VMEM((_N_WINDOW_BUFFERS, W * bs, mp), x.dtype),
             pltpu.SemaphoreType.DMA((_N_WINDOW_BUFFERS,)),
         ],
-        out_shape=jax.ShapeDtypeStruct((nbr_p, bs, mp), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((nbr, bs, mp), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nbr * K * bs * bs * mp,
             bytes_accessed=(blocks.size * blocks.dtype.itemsize
-                            + (nbr_p // R) * W * bs * mp * x.dtype.itemsize
+                            + (nbr // R) * W * bs * mp * x.dtype.itemsize
                             + nbr * bs * mp * out_dtype.itemsize),
             transcendentals=0,
         ),
-    )(jnp.asarray([nbr], jnp.int32), blocks2, x)
-    out = out[:nbr].reshape(nbr * bs, mp)
+    )(blocks, x)
+    out = out.reshape(nbr * bs, mp)
     return out[:, :m] if mp != m else out

@@ -318,13 +318,15 @@ class BSROperator(LinearOperator):
             jnp.dtype(target).itemsize else target
         if self.backend == "pallas":
             from fortran_davidson_tpu.ops.pallas_kernels import (
-                _TILE_R, banded_bsr_spmm, bsr_spmm)
+                banded_bsr_spmm, banded_pallas_supported, bsr_spmm)
             bw = self.bandwidth
             x = block.astype(compute)
-            if bw is not None and self.n_block_rows >= _TILE_R + 2 * bw:
+            if bw is not None and banded_pallas_supported(
+                    self.n_block_rows, self.blocks_per_row, bw):
                 return banded_bsr_spmm(self.blocks.astype(compute), x,
                                        bandwidth=bw, out_dtype=target)
-            # Tiny bands fall back to the general scattered-slice kernel.
+            # Unsupported band shapes take the general scattered-slice
+            # kernel (identical math via the stored column table).
             return bsr_spmm(self.block_cols, self.blocks.astype(compute), x,
                             out_dtype=target)
         nbr, bs, kbs = self.blocks.shape
@@ -428,30 +430,34 @@ def generate_banded_bsr(n_block_rows: int, bs: int, bandwidth: int = 1,
     K = 2 * bw + 1
     require(nbr >= K, OperatorError,
             f"need at least K={K} block rows for bandwidth {bw}")
-    # Window-aligned block-ELL assembly (slot k of row r holds column
-    # clip(r-bw, 0, nbr-K)+k; absent band positions stay zero) — the
-    # storage convention of the windowed-DMA Pallas kernel.
-    starts = np.clip(np.arange(nbr) - bw, 0, nbr - K)
-    cols = starts[:, None] + np.arange(K)          # (nbr, K), always in range
+    # DIA-aligned block-ELL assembly: slot k of row r holds column
+    # r - bw + k for EVERY row (out-of-range band positions stay zero
+    # blocks; their stored column index is clipped in range for gather
+    # safety). The uniform slot rule is what makes the windowed-DMA
+    # Pallas kernel edge-free and shard_map-composable — a row's K
+    # slices always sit at offset r (in local/virtual coordinates) of
+    # the halo-extended input window.
+    offs = np.arange(nbr)[:, None] - bw + np.arange(K)   # virtual columns
+    cols = np.clip(offs, 0, nbr - 1)                     # gather-safe
     vals = np.zeros((nbr, K, bs, bs), dt)
 
-    # Off-diagonal bands (upper), mirrored for symmetry.
+    # Off-diagonal bands (upper), mirrored for symmetry; diagonal d lives
+    # in slot bw + d of row r (DIA rule).
     for d in range(1, bw + 1):
         cnt = nbr - d
         if cnt <= 0:
             continue
         blocks = (rng.random((cnt, bs, bs)).astype(dt) - 0.5) * coupling
         r = np.arange(cnt)
-        vals[r, r + d - starts[r]] = blocks
-        vals[r + d, r - starts[r + d]] = blocks.transpose(0, 2, 1)
+        vals[r, bw + d] = blocks
+        vals[r + d, bw - d] = blocks.transpose(0, 2, 1)
     # Diagonal blocks: symmetric small coupling + dominant diagonal.
     dblocks = (rng.random((nbr, bs, bs)).astype(dt) - 0.5) * coupling
     dblocks = dblocks + dblocks.transpose(0, 2, 1)
     diag = np.arange(1, nbr * bs + 1, dtype=dt).reshape(nbr, bs)
     idx = np.arange(bs)
     dblocks[:, idx, idx] = diag
-    r = np.arange(nbr)
-    vals[r, r - starts] = dblocks
+    vals[:, bw] = dblocks
     return BSROperator(cols.astype(np.int32),
                        np.ascontiguousarray(vals.transpose(0, 2, 1, 3)).reshape(
                            nbr, bs, K * bs),

@@ -130,7 +130,7 @@ class TestPallasBSR:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
-    @pytest.mark.parametrize("nbr,bw", [(16, 2), (24, 1), (17, 2)])
+    @pytest.mark.parametrize("nbr,bw", [(16, 2), (24, 1), (32, 7)])
     def test_banded_kernel_matches_xla(self, rng, nbr, bw):
         from fortran_davidson_tpu.ops.pallas_kernels import banded_bsr_spmm
         op = generate_banded_bsr(nbr, 8, bandwidth=bw, seed=9,
@@ -141,6 +141,24 @@ class TestPallasBSR:
         ref = op.matmat(X)
         out = banded_bsr_spmm(op.blocks, X, bandwidth=bw, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_unsupported_band_shape_falls_back(self, rng):
+        # nbr not a multiple of the row tile: the operator-level pallas
+        # backend must route to the general kernel and stay correct.
+        from fortran_davidson_tpu.ops.pallas_kernels import (
+            banded_bsr_spmm, banded_pallas_supported)
+        op = generate_banded_bsr(17, 8, bandwidth=2, seed=9,
+                                 dtype=jnp.float32)
+        assert not banded_pallas_supported(17, 5, 2)
+        with pytest.raises(ValueError):
+            banded_bsr_spmm(op.blocks, jnp.zeros((op.shape[0], 8),
+                                                 jnp.float32), bandwidth=2,
+                            interpret=True)
+        p = op.with_backend("pallas")
+        X = jnp.asarray(rng.standard_normal((op.shape[0], 8)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(p.matmat(X)),
+                                   np.asarray(op.matmat(X)),
                                    rtol=2e-5, atol=2e-5)
 
     def test_banded_bf16_accumulate_f32(self, rng):
