@@ -322,3 +322,104 @@ def banded_bsr_spmm(blocks, x, *, bandwidth: int,
     )(blocks, x)
     out = out.reshape(nbr * bs, mp)
     return out[:, :m] if mp != m else out
+
+
+def _banded_ext_kernel(blocks_ref, x_hbm, out_ref, xbuf, sem, *,
+                       K: int, W: int):
+    """Pre-extended variant of :func:`_banded_kernel`: the input already
+    carries ``bw*bs`` halo rows on each side (a shard's local slab after
+    ring ppermute exchange), so EVERY tile's window [t*R*bs, (t*R+W)*bs)
+    is valid — no edge forms at all."""
+    R = out_ref.shape[0]
+    bs = blocks_ref.shape[1]
+    tile = pl.program_id(0)
+    ntiles = pl.num_programs(0)
+    NB = _N_WINDOW_BUFFERS
+    D = NB - 1
+
+    def window(slot, t):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(t * R * bs, W * bs), :],
+            xbuf.at[slot], sem.at[slot])
+
+    slot = tile % NB
+
+    @pl.when(tile == 0)
+    def _():
+        for d in range(min(D, ntiles)):
+            window(d % NB, d).start()
+
+    @pl.when(tile + D < ntiles)
+    def _():
+        window((tile + D) % NB, tile + D).start()
+
+    window(slot, tile).wait()
+
+    for i in range(R):
+        out_ref[i] = jnp.dot(
+            blocks_ref[i], xbuf[slot, i * bs:(i + K) * bs, :],
+            preferred_element_type=_acc_dtype(blocks_ref.dtype),
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bandwidth", "interpret", "out_dtype"))
+def banded_ext_bsr_spmm(blocks, x_ext, *, bandwidth: int,
+                        interpret: bool | None = None, out_dtype=None):
+    """DIA banded SpMM over a halo-extended input.
+
+    ``x_ext`` has shape ``((nbr + 2*bandwidth) * bs, m)``: the local rows
+    framed by ``bandwidth`` block rows of halo on each side (garbage at
+    the global ring ends is cancelled by the zero out-of-range blocks).
+    This is the shard-local contraction of the distributed banded solve:
+    ppermute fills the halos, this kernel does the MXU work.
+
+    Requires ``nbr % 8 == 0``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out_dtype = jnp.dtype(x_ext.dtype if out_dtype is None else out_dtype)
+    nbr, bs, kbs = blocks.shape
+    K = kbs // bs
+    bw = int(bandwidth)
+    R = _TILE_R
+    W = R + 2 * bw
+    if K != 2 * bw + 1 or nbr % R:
+        raise ValueError(
+            f"banded_ext_bsr_spmm needs K == 2*bw+1 and nbr % {R} == 0; "
+            f"got nbr={nbr}, K={K}, bw={bw}")
+    n_ext, m = x_ext.shape
+    if n_ext != (nbr + 2 * bw) * bs:
+        raise ValueError(
+            f"x_ext has {n_ext} rows, expected {(nbr + 2 * bw) * bs}")
+    mp = max(128, -(-m // 128) * 128)
+    if mp != m:
+        x_ext = jnp.pad(x_ext, ((0, 0), (0, mp - m)))
+
+    kernel = functools.partial(_banded_ext_kernel, K=K, W=W)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nbr // R,),
+        in_specs=[
+            pl.BlockSpec((R, bs, K * bs), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((R, bs, mp), lambda r: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_N_WINDOW_BUFFERS, W * bs, mp), x_ext.dtype),
+            pltpu.SemaphoreType.DMA((_N_WINDOW_BUFFERS,)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((nbr, bs, mp), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbr * K * bs * bs * mp,
+            bytes_accessed=(blocks.size * blocks.dtype.itemsize
+                            + (nbr // R) * W * bs * mp * x_ext.dtype.itemsize
+                            + nbr * bs * mp * out_dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(blocks, x_ext)
+    out = out.reshape(nbr * bs, mp)
+    return out[:, :m] if mp != m else out

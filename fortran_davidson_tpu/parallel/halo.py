@@ -43,7 +43,8 @@ class HaloBSROperator(LinearOperator):
     """
 
     def __init__(self, block_cols, blocks, bandwidth: int, mesh: Mesh,
-                 axis: str = ROWS_AXIS, _placed: bool = False):
+                 axis: str = ROWS_AXIS, backend: str = "xla",
+                 _placed: bool = False):
         # blocks use the (nbr, bs, K*bs) row-major block layout of
         # :class:`~fortran_davidson_tpu.ops.sparse.BSROperator`.
         nbr, K = block_cols.shape[:2]
@@ -60,16 +61,21 @@ class HaloBSROperator(LinearOperator):
                 row_sharding(mesh, 2, axis))
             blocks = jax.device_put(jnp.asarray(blocks),
                                     row_sharding(mesh, 3, axis))
+        require(backend in ("xla", "pallas"), OperatorError,
+                f"unknown halo backend {backend!r}")
         self.block_cols = block_cols
         self.blocks = blocks
         self.bandwidth = int(bandwidth)
         self.mesh = mesh
         self.axis = axis
+        self.backend = backend
 
     @classmethod
     def from_bsr(cls, op: BSROperator, bandwidth: int, mesh: Mesh,
-                 axis: str = ROWS_AXIS) -> "HaloBSROperator":
-        return cls(op.block_cols, op.blocks, bandwidth, mesh, axis)
+                 axis: str = ROWS_AXIS,
+                 backend: str = "xla") -> "HaloBSROperator":
+        return cls(op.block_cols, op.blocks, bandwidth, mesh, axis,
+                   backend=backend)
 
     # -- LinearOperator -------------------------------------------------
     @property
@@ -95,6 +101,26 @@ class HaloBSROperator(LinearOperator):
 
         fwd = [(d, (d + 1) % ndev) for d in range(ndev)]
         bwd = [(d, (d - 1) % ndev) for d in range(ndev)]
+
+        # Shard-local Pallas contraction (pod production path): DIA
+        # storage means row r of the halo-extended local window always
+        # contracts at offset r — the windowed-DMA kernel applies
+        # unchanged per shard.
+        use_pallas = (self.backend == "pallas" and K == 2 * bw + 1
+                      and nbr_l % 8 == 0)
+
+        def local_spmm_pallas(blks, x):
+            from fortran_davidson_tpu.ops.pallas_kernels import \
+                banded_ext_bsr_spmm
+            halo = bw * bs
+            from_prev = jax.lax.ppermute(x[-halo:], axis, fwd)
+            from_next = jax.lax.ppermute(x[:halo], axis, bwd)
+            x_ext = jnp.concatenate([from_prev, x, from_next])
+            compute = (blks.dtype if jnp.dtype(blks.dtype).itemsize
+                       < jnp.dtype(x.dtype).itemsize else x.dtype)
+            return banded_ext_bsr_spmm(blks.astype(compute),
+                                       x_ext.astype(compute),
+                                       bandwidth=bw, out_dtype=x.dtype)
 
         def local_spmm(cols, blks, x):
             # cols: (nbr_l, K) global block-column ids; x: (nbr_l*bs, m).
@@ -132,6 +158,14 @@ class HaloBSROperator(LinearOperator):
             return out.reshape(nbr_l * bs, m)
 
         spec2 = P(axis, None)
+        if use_pallas:
+            # check_vma=False: pallas_call outputs carry no varying-mesh
+            # annotation yet.
+            return jax.shard_map(
+                local_spmm_pallas, mesh=self.mesh,
+                in_specs=(P(axis, None, None), spec2),
+                out_specs=spec2, check_vma=False,
+            )(self.blocks, block)
         return jax.shard_map(
             local_spmm, mesh=self.mesh,
             in_specs=(spec2, P(axis, None, None), spec2),
@@ -149,11 +183,11 @@ class HaloBSROperator(LinearOperator):
     # -- pytree ----------------------------------------------------------
     def tree_flatten(self):
         return ((self.block_cols, self.blocks),
-                (self.bandwidth, self.mesh, self.axis))
+                (self.bandwidth, self.mesh, self.axis, self.backend))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         obj.block_cols, obj.blocks = children
-        obj.bandwidth, obj.mesh, obj.axis = aux
+        obj.bandwidth, obj.mesh, obj.axis, obj.backend = aux
         return obj

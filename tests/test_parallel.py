@@ -131,3 +131,29 @@ class TestShardOperator:
         op = shard_operator(fdt.as_operator(A), mesh)
         sh = op.matrix.sharding
         assert isinstance(sh, NamedSharding) and sh.spec[0] == "rows"
+
+
+class TestHaloPallas:
+    """Shard-local Pallas contraction under shard_map (interpret on CPU)."""
+
+    def test_pallas_halo_matches_xla(self, mesh, rng):
+        bsr = generate_banded_bsr(64, 8, bandwidth=2, coupling=1e-3, seed=21)
+        op_x = HaloBSROperator.from_bsr(bsr, 2, mesh, backend="xla")
+        op_p = HaloBSROperator.from_bsr(bsr, 2, mesh, backend="pallas")
+        n = op_x.shape[0]
+        X = jax.device_put(jnp.asarray(rng.standard_normal((n, 6))),
+                           NamedSharding(mesh, P("rows", None)))
+        np.testing.assert_allclose(np.asarray(op_p.matmat(X)),
+                                   np.asarray(op_x.matmat(X)), atol=1e-10)
+
+    def test_pallas_halo_solve(self, mesh):
+        from fortran_davidson_tpu.parallel import eigensolve_sharded
+        bsr = generate_banded_bsr(64, 8, bandwidth=1, coupling=1e-3, seed=22)
+        op = HaloBSROperator.from_bsr(bsr, 1, mesh, backend="pallas")
+        ref = fdt.eigensolve(bsr, 3, tolerance=1e-8)
+        res = eigensolve_sharded(op, 3, mesh, tolerance=1e-8)
+        res.block_until_ready()
+        assert bool(res.converged)
+        assert int(res.iterations) == int(ref.iterations)
+        np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                                   np.asarray(ref.eigenvalues), atol=1e-10)
