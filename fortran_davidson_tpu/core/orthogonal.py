@@ -84,19 +84,21 @@ def orthonormalize_block(V, block, mask, n_reorth: int = 2,
     if method == "qr":
         q, _ = jnp.linalg.qr(block)
         q = q * mask[None, :]
-    else:
-        # Rank-revealing SVQB: rank-deficient correction blocks shed their
-        # null directions, and the kept basis is compacted into a column
-        # prefix (no mask multiply — kept columns need not align with the
-        # input mask positions).
-        q = svqb(block, mask)
-    # One more sweep against V: the QR completes zero/near-zero columns with
-    # arbitrary directions that may have components in span(V).
-    q = project_out(V, q)
-    # Renormalize columns (safe for exactly-zero padded columns).
-    norms = jnp.linalg.norm(q, axis=0)
-    inv = jnp.where(norms > 0, 1.0 / jnp.where(norms > 0, norms, 1.0), 0.0)
-    return q * inv[None, :]
+        # One more sweep against V: Householder QR completes zero/near-zero
+        # columns with arbitrary directions that may have components in
+        # span(V); renormalize afterwards (safe for exactly-zero columns).
+        q = project_out(V, q)
+        norms = jnp.linalg.norm(q, axis=0)
+        inv = jnp.where(norms > 0, 1.0 / jnp.where(norms > 0, norms, 1.0),
+                        0.0)
+        return q * inv[None, :]
+    # Rank-revealing SVQB: rank-deficient correction blocks shed their
+    # null directions, and the kept basis is compacted into a column
+    # prefix. SVQB only combines the CGS2-projected columns (it never
+    # invents directions), so the combinations stay orthogonal to V and
+    # no extra cleanup sweep is needed — saving four streaming passes
+    # over the (n, m_max) arrays per iteration.
+    return svqb(block, mask)
 
 
 def cholqr_once(X, unit_diag=None, jitter: float = 0.0):
