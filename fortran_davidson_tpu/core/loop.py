@@ -58,6 +58,7 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
         V=V0,
         AV=AV0,
         m=jnp.asarray(init_dim, jnp.int32),
+        col_ok=(jnp.arange(m_max) < init_dim).astype(dt),
         it=jnp.asarray(0, jnp.int32),
         chunk_end=jnp.asarray(cfg.max_iterations, jnp.int32),
         has_conv=jnp.zeros((k,), bool),
@@ -99,11 +100,11 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         V, AV = st["V"], st["AV"]
         BV = st["BV"] if gen else None
         m = st["m"]
-        mask = orthogonal.col_mask(m, m_max, dt)
-        # Defense in depth: basis columns are unit-norm or exactly zero by
-        # construction; treat any zero column as padding so a degenerate
-        # expansion can never produce a singular projected B-Gram.
-        mask = mask * (jnp.sum(V * V, axis=0) > 0.5).astype(dt)
+        # Active columns = prefix up to m MINUS columns dropped by the
+        # rank-revealing orthonormalization; the flags are carried in the
+        # state (maintained by expand/collapse below) so no pass over V
+        # is needed to re-derive them.
+        mask = orthogonal.col_mask(m, m_max, dt) * st["col_ok"]
 
         # Rayleigh-Ritz on the active block (masked padded eigh).
         H = subspace.project(V, AV)
@@ -132,8 +133,11 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         history = st["history"].at[it].set(errors)
         dims = st["dims"].at[it].set(m)
 
+        col_ok = st["col_ok"]
+
         def no_update(_):
-            out = (V, AV, m) if not gen else (V, AV, BV, m)
+            out = ((V, AV, m, col_ok) if not gen
+                   else (V, AV, BV, m, col_ok))
             return out
 
         def expand(_):
@@ -146,20 +150,20 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                     cfg.gjd_inner_iters, cfg.gjd_inner_tol,
                     diag_a=diag_a if precond else None,
                     diag_b=diag_b if (precond and gen) else None)
-            Q = orthogonal.orthonormalize_block(V, corr, mask,
-                                                n_reorth=cfg.n_reorth,
-                                                method=cfg.ortho)
+            Q, alive_q = orthogonal.orthonormalize_block(
+                V, corr, mask, n_reorth=cfg.n_reorth, method=cfg.ortho)
             # New block columns occupy the prefix [0, m); shift them to
             # [m, 2m) and add into the zero-padded region. 2m <= m_max is
             # guaranteed by the doubling schedule (config.subspace_cap).
             AQ = A.matmat(Q)
             V2 = V + jnp.roll(Q, m, axis=1)
             AV2 = AV + jnp.roll(AQ, m, axis=1)
+            ok2 = col_ok + jnp.roll(alive_q, m)
             if gen:
                 BQ = B.matmat(Q)
                 BV2 = BV + jnp.roll(BQ, m, axis=1)
-                return (V2, AV2, BV2, 2 * m)
-            return (V2, AV2, 2 * m)
+                return (V2, AV2, BV2, 2 * m, ok2)
+            return (V2, AV2, 2 * m, ok2)
 
         def collapse(_):
             W2 = W[:, :init_dim]
@@ -170,12 +174,13 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             Vn = jnp.zeros_like(V).at[:, :init_dim].set(Qc)
             AVn = jnp.zeros_like(AV).at[:, :init_dim].set(AQc)
             mn = jnp.asarray(init_dim, jnp.int32)
+            okn = (jnp.arange(m_max) < init_dim).astype(dt)
             if gen:
                 BX2 = jnp.dot(BV, W2, preferred_element_type=dt)
                 BQc = orthogonal.right_tri_solve(BX2, Rc)
                 BVn = jnp.zeros_like(BV).at[:, :init_dim].set(BQc)
-                return (Vn, AVn, BVn, mn)
-            return (Vn, AVn, mn)
+                return (Vn, AVn, BVn, mn, okn)
+            return (Vn, AVn, mn, okn)
 
         def step(_):
             # Expansion iff current dim <= max_dim (``src/davidson.f90:195``).
@@ -183,12 +188,13 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
 
         new = jax.lax.cond(all_conv, no_update, step, None)
         if gen:
-            Vn, AVn, BVn, mn = new
+            Vn, AVn, BVn, mn, okn = new
         else:
-            Vn, AVn, mn = new
+            Vn, AVn, mn, okn = new
 
         out = dict(
-            V=Vn, AV=AVn, m=mn, it=it + 1, chunk_end=st["chunk_end"],
+            V=Vn, AV=AVn, m=mn, col_ok=okn, it=it + 1,
+            chunk_end=st["chunk_end"],
             has_conv=has_conv, all_conv=all_conv,
             evals=w[:k], evecs=X[:, :k], errors=errors,
             history=history, dims=dims,

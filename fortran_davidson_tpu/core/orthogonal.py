@@ -60,8 +60,11 @@ def orthonormalize_block(V, block, mask, n_reorth: int = 2,
       n_reorth: number of CGS passes against V (2 = CGS2).
 
     Returns:
-      (n, b_max) block with orthonormal active columns, orthogonal to the
-      active columns of V; masked columns are exactly zero.
+      ``(q, alive)``: (n, b_max) block with orthonormal active columns,
+      orthogonal to the active columns of V (masked/dropped columns are
+      exactly zero), and the (b_max,) float mask of surviving columns —
+      computed here for free so the solver loop never has to re-derive
+      column activity with a full pass over the basis.
     """
     dt = block.dtype
     block = block * mask[None, :]
@@ -91,14 +94,14 @@ def orthonormalize_block(V, block, mask, n_reorth: int = 2,
         norms = jnp.linalg.norm(q, axis=0)
         inv = jnp.where(norms > 0, 1.0 / jnp.where(norms > 0, norms, 1.0),
                         0.0)
-        return q * inv[None, :]
+        return q * inv[None, :], (norms > 0.5).astype(dt)
     # Rank-revealing SVQB: rank-deficient correction blocks shed their
     # null directions, and the kept basis is compacted into a column
     # prefix. SVQB only combines the CGS2-projected columns (it never
     # invents directions), so the combinations stay orthogonal to V and
     # no extra cleanup sweep is needed — saving four streaming passes
     # over the (n, m_max) arrays per iteration.
-    return svqb(block, mask)
+    return svqb(block, mask, return_alive=True)
 
 
 def cholqr_once(X, unit_diag=None, jitter: float = 0.0):
@@ -136,7 +139,7 @@ def cholqr2(X, unit_diag=None, jitter: float = 0.0):
     return Q2, jnp.dot(R2, R1, preferred_element_type=X.dtype)
 
 
-def svqb(block, mask, rank_rtol=None):
+def svqb(block, mask, rank_rtol=None, return_alive: bool = False):
     """SVQB (Stathopoulos & Wu 2002): rank-revealing block
     orthonormalization via the eigendecomposition of the Gram matrix.
 
@@ -179,6 +182,8 @@ def svqb(block, mask, rank_rtol=None):
     # its eigenvalue lands). Compact them into a prefix so the caller can
     # place the block by column count alone.
     order = jnp.argsort(jnp.logical_not(alive.astype(bool)), stable=True)
+    if return_alive:
+        return Q[:, order], alive[order]
     return Q[:, order]
 
 

@@ -123,8 +123,10 @@ def test_orthonormalize_block():
     C = np.zeros((n, m_max))
     C[:, :b] = rng.normal(size=(n, b))
     mask = (jnp.arange(m_max) < b).astype(jnp.float64)
-    Q = np.asarray(orthogonal.orthonormalize_block(jnp.asarray(V),
-                                                   jnp.asarray(C), mask))
+    Q, alive = orthogonal.orthonormalize_block(jnp.asarray(V),
+                                               jnp.asarray(C), mask)
+    Q = np.asarray(Q)
+    assert np.asarray(alive)[:b].sum() == b  # full-rank block survives
     # Masked columns exactly zero.
     assert np.all(Q[:, b:] == 0)
     # Orthonormal and orthogonal to V.
