@@ -52,7 +52,10 @@ def main(argv=None) -> int:
         op = generate_banded_bsr(nbr, bs, bandwidth=args.bandwidth,
                                  coupling=1e-3, dtype=jnp.float32)
         if jax.default_backend() == "tpu":
-            op = op.with_backend("pallas")
+            # bf16 block storage (f32 iterates/accumulation): halves the
+            # HBM footprint so 10M rows fit one chip; operator values
+            # carry bf16 representation error (~0.4% relative).
+            op = op.astype(jnp.bfloat16).with_backend("pallas")
 
     common = dict(method="DPR", tolerance=args.tolerance,
                   max_iterations=args.max_iterations, dtype="float32",

@@ -345,9 +345,16 @@ class BSROperator(LinearOperator):
 
     def diagonal(self):
         nbr, bs, _ = self.blocks.shape
-        own = self.block_cols == jnp.arange(nbr, dtype=jnp.int32)[:, None]
-        diag_blocks = jnp.sum(
-            jnp.where(own[:, None, :, None], self._blocks4(), 0), axis=2)
+        if self.bandwidth is not None:
+            # DIA-aligned band: the diagonal block is always slot bw — a
+            # plain slice, avoiding the (nbr, bs, K, bs)-sized masked temp
+            # (which alone OOMs HBM at 10M-row scale).
+            bw = self.bandwidth
+            diag_blocks = self.blocks[:, :, bw * bs:(bw + 1) * bs]
+        else:
+            own = self.block_cols == jnp.arange(nbr, dtype=jnp.int32)[:, None]
+            diag_blocks = jnp.sum(
+                jnp.where(own[:, None, :, None], self._blocks4(), 0), axis=2)
         return jnp.diagonal(diag_blocks, axis1=1, axis2=2).reshape(-1)
 
     def to_dense(self):
