@@ -55,6 +55,13 @@ class DavidsonOptions:
       orthonormalization: "cholqr2" (TPU-native CholeskyQR2 — Gram matmul
         + small Cholesky, all MXU/psum work) or "qr" (Householder
         ``jnp.linalg.qr``, the reference's DGEQRF semantics; slow on TPU).
+      expansion: "doubling" (the reference schedule — the correction
+        block has as many columns as the basis, so dimensions go
+        init, 2*init, 4*init, ... ``src/davidson.f90:199``; required for
+        iteration-count parity) or "lowest-k" (classic Davidson — expand
+        by corrections for the k wanted pairs only; a much smaller
+        padded width for large k, e.g. lowest-20 with max_dim 200:
+        doubling pads to 320 columns, lowest-k to 220).
       dtype: float64 (reference parity) or float32.
     """
 
@@ -70,6 +77,7 @@ class DavidsonOptions:
     n_reorth: int = 2
     relative_tolerance: bool = False
     orthonormalization: str = "cholqr2"
+    expansion: str = "doubling"
     dtype: str = "float64"
 
     def __post_init__(self):
@@ -83,6 +91,9 @@ class DavidsonOptions:
         require(self.gjd_preconditioner in ("none", "dpr"),
                 InvalidOptionsError,
                 f"unknown gjd_preconditioner {self.gjd_preconditioner!r}")
+        require(self.expansion in ("doubling", "lowest-k"),
+                InvalidOptionsError,
+                f"unknown expansion {self.expansion!r}")
         jnp.dtype(self.dtype)  # raises on nonsense
 
 
@@ -104,6 +115,7 @@ class ResolvedConfig:
     n_reorth: int
     relative: bool
     ortho: str
+    expansion: str
     dtype: str
     generalized: bool
 
@@ -117,20 +129,23 @@ def merge_options(options: Optional[DavidsonOptions],
     return opts
 
 
-def subspace_cap(init_dim: int, max_dim: int) -> int:
-    """Largest subspace dimension the doubling schedule can reach.
+def subspace_cap(init_dim: int, max_dim: int, step: Optional[int] = None) -> int:
+    """Largest subspace dimension the expansion schedule can reach.
 
-    The basis doubles each expansion (the correction block has as many
-    columns as the basis, ``src/davidson.f90:199``) and expansion happens
-    whenever the *current* dimension is <= max_dim
-    (``src/davidson.f90:195``), so dimensions follow
-    ``init, 2*init, 4*init, ...`` until the first value exceeding max_dim,
-    then collapse to ``init``. The padded width is that first exceeding
-    value (or init if init already exceeds max_dim).
+    Doubling (``step=None``): the basis doubles each expansion (the
+    correction block has as many columns as the basis,
+    ``src/davidson.f90:199``) and expansion happens whenever the
+    *current* dimension is <= max_dim (``src/davidson.f90:195``), so
+    dimensions follow ``init, 2*init, 4*init, ...`` until the first value
+    exceeding max_dim, then collapse to ``init``. The padded width is
+    that first exceeding value (or init if init already exceeds max_dim).
+
+    Lowest-k (``step=k``): the basis grows by at most ``step`` columns
+    per expansion.
     """
     cap = init_dim
     while cap <= max_dim:
-        cap *= 2
+        cap = cap * 2 if step is None else cap + step
     return cap
 
 
@@ -144,15 +159,17 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
             "init_dim must be >= lowest")
     require(init_dim <= n, InvalidOptionsError,
             f"init_dim={init_dim} exceeds matrix dimension {n}")
+    step = None if opts.expansion == "doubling" else lowest
     if opts.max_dim_sub is not None:
         max_dim = opts.max_dim_sub
     else:
         # Reference default 10*lowest (``src/davidson.f90:115-119``),
-        # clamped so the padded doubling schedule fits small problems.
+        # clamped so the padded expansion schedule fits small problems.
         max_dim = 10 * lowest
-        while max_dim > init_dim and subspace_cap(init_dim, max_dim) > n:
+        while max_dim > init_dim and subspace_cap(init_dim, max_dim,
+                                                  step) > n:
             max_dim //= 2
-    m_max = subspace_cap(init_dim, max_dim)
+    m_max = subspace_cap(init_dim, max_dim, step)
     require(m_max <= n, InvalidOptionsError,
             f"padded subspace width {m_max} exceeds matrix dimension {n}; "
             "reduce max_dim_sub or init_dim")
@@ -174,6 +191,7 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
         n_reorth=int(opts.n_reorth),
         relative=bool(opts.relative_tolerance),
         ortho=str(opts.orthonormalization),
+        expansion=str(opts.expansion),
         dtype=str(jnp.dtype(opts.dtype)),
         generalized=generalized,
     )

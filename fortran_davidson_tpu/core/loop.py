@@ -141,17 +141,27 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             return out
 
         def expand(_):
+            if cfg.expansion == "lowest-k":
+                # Classic Davidson: expand by corrections for the k wanted
+                # pairs only (the reference doubles — corrections for every
+                # active pair, ``src/davidson.f90:199``).
+                corr_mask = mask * (jnp.arange(m_max) < k).astype(dt)
+                grow = k
+            else:
+                corr_mask = mask
+                grow = None  # doubling: m -> 2m
             if cfg.method == "DPR":
-                corr = corr_mod.dpr_correction(R, w, diag_a, diag_b, mask)
+                corr = corr_mod.dpr_correction(R, w, diag_a, diag_b,
+                                               corr_mask)
             else:
                 precond = cfg.gjd_precond == "dpr"
                 corr = corr_mod.gjd_correction(
-                    A.matmat, B.matmat if gen else None, w, X, R, mask,
+                    A.matmat, B.matmat if gen else None, w, X, R, corr_mask,
                     cfg.gjd_inner_iters, cfg.gjd_inner_tol,
                     diag_a=diag_a if precond else None,
                     diag_b=diag_b if (precond and gen) else None)
             Q, alive_q = orthogonal.orthonormalize_block(
-                V, corr, mask, n_reorth=cfg.n_reorth, method=cfg.ortho)
+                V, corr, corr_mask, n_reorth=cfg.n_reorth, method=cfg.ortho)
             # New block columns occupy the prefix [0, m); shift them to
             # [m, 2m) and add into the zero-padded region. 2m <= m_max is
             # guaranteed by the doubling schedule (config.subspace_cap).
@@ -159,11 +169,12 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             V2 = V + jnp.roll(Q, m, axis=1)
             AV2 = AV + jnp.roll(AQ, m, axis=1)
             ok2 = col_ok + jnp.roll(alive_q, m)
+            m2 = m + grow if grow is not None else 2 * m
             if gen:
                 BQ = B.matmat(Q)
                 BV2 = BV + jnp.roll(BQ, m, axis=1)
-                return (V2, AV2, BV2, 2 * m, ok2)
-            return (V2, AV2, 2 * m, ok2)
+                return (V2, AV2, BV2, m2, ok2)
+            return (V2, AV2, m2, ok2)
 
         def collapse(_):
             W2 = W[:, :init_dim]

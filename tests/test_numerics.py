@@ -269,3 +269,48 @@ class TestGJDPreconditioner:
         from fortran_davidson_tpu.utils.errors import InvalidOptionsError
         with _pytest.raises(InvalidOptionsError):
             fdt.DavidsonOptions(gjd_preconditioner="wat")
+
+
+class TestLowestKExpansion:
+    def test_smaller_padded_width(self):
+        from fortran_davidson_tpu.config import (DavidsonOptions,
+                                                 resolve_options)
+        doubling = resolve_options(DavidsonOptions(), 20, 10000, False)
+        lowk = resolve_options(DavidsonOptions(expansion="lowest-k"), 20,
+                               10000, False)
+        assert doubling.m_max == 320 and lowk.m_max == 220
+
+    def test_converges_to_scipy(self):
+        import scipy.linalg
+        import fortran_davidson_tpu as fdt
+        from fortran_davidson_tpu.models.generators import \
+            generate_diagonal_dominant
+        A = generate_diagonal_dominant(120, 1e-3)
+        res = fdt.eigensolve(A, 4, expansion="lowest-k", tolerance=1e-8,
+                             max_iterations=200)
+        res.block_until_ready()
+        assert bool(res.converged)
+        expected = scipy.linalg.eigh(np.asarray(A), eigvals_only=True)[:4]
+        np.testing.assert_allclose(np.asarray(res.eigenvalues), expected,
+                                   atol=1e-8)
+        # Dimension schedule grows by k per iteration until collapse.
+        dims = np.asarray(res.subspace_dims)[: int(res.iterations)]
+        steps = np.diff(dims[dims > 0])
+        assert np.all((steps == 4) | (steps < 0))
+
+    def test_generalized_gjd_lowest_k(self):
+        import scipy.linalg
+        import fortran_davidson_tpu as fdt
+        from fortran_davidson_tpu.models.generators import \
+            generate_diagonal_dominant
+        A = generate_diagonal_dominant(60, 1e-3)
+        B = generate_diagonal_dominant(60, 1e-3, diag_val=1.0)
+        res = fdt.eigensolve(A, 3, second_matrix=B, method="GJD",
+                             expansion="lowest-k", tolerance=1e-8,
+                             max_iterations=200)
+        res.block_until_ready()
+        assert bool(res.converged)
+        expected = scipy.linalg.eigh(np.asarray(A), np.asarray(B),
+                                     eigvals_only=True)[:3]
+        np.testing.assert_allclose(np.asarray(res.eigenvalues), expected,
+                                   atol=1e-8)
