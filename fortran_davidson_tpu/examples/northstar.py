@@ -38,6 +38,10 @@ def main(argv=None) -> int:
     parser.add_argument("--bandwidth", type=int, default=1)
     parser.add_argument("--sharded", action="store_true")
     parser.add_argument("--max-iterations", type=int, default=100)
+    parser.add_argument("--expansion", choices=["doubling", "lowest-k"],
+                        default="doubling",
+                        help="lowest-k shrinks the padded basis for large "
+                        "k (e.g. lowest-20)")
     args = parser.parse_args(argv)
 
     import jax
@@ -62,7 +66,7 @@ def main(argv=None) -> int:
 
     common = dict(method="DPR", tolerance=args.tolerance,
                   max_iterations=args.max_iterations, dtype="float32",
-                  relative_tolerance=True)
+                  relative_tolerance=True, expansion=args.expansion)
 
     if args.sharded:
         from fortran_davidson_tpu.parallel import (default_mesh,
