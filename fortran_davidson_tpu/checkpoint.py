@@ -80,7 +80,7 @@ def restore_state(directory: str, template: dict,
 
 def eigensolve_checkpointed(matrix, lowest: int, directory: str,
                             every: int = 10, second_matrix=None,
-                            resume: bool = True,
+                            resume: bool = True, mesh=None,
                             options: Optional[DavidsonOptions] = None,
                             callbacks=(),
                             **overrides) -> DavidsonResult:
@@ -92,16 +92,28 @@ def eigensolve_checkpointed(matrix, lowest: int, directory: str,
     shape-bound to the solver configuration (the history buffers are
     sized by ``max_iterations``): resume with the SAME options that wrote
     the checkpoint.
+
+    With ``mesh``, the solve runs row-sharded
+    (:func:`~fortran_davidson_tpu.parallel.sharded.eigensolve_sharded`
+    semantics) and orbax persists/restores the sharded state — the
+    long-pod-run combination the checkpointing exists for.
     """
     opts = merge_options(options, overrides)
     dt = canonical_dtype(opts.dtype)
 
+    constrain = None
     A = as_operator(matrix, dtype=dt)
     B = None if second_matrix is None else as_operator(second_matrix, dtype=dt)
+    if mesh is not None:
+        from fortran_davidson_tpu.parallel.sharded import (RowShardConstraint,
+                                                           shard_operator)
+        A = shard_operator(A, mesh)
+        B = None if B is None else shard_operator(B, mesh)
+        constrain = RowShardConstraint(mesh)
     require(A.shape[0] == A.shape[1], OperatorError, "A must be square")
     cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None)
 
-    init, _ = get_stepper(cfg)
+    init, _ = get_stepper(cfg, constrain)
     state = None
     if resume and latest_step(directory) is not None:
         template = jax.eval_shape(lambda: init(A, B))
@@ -111,4 +123,5 @@ def eigensolve_checkpointed(matrix, lowest: int, directory: str,
         save_state(directory, st)
 
     return run_chunked(cfg, A, B, every=every,
-                       callbacks=(save_cb, *callbacks), state=state)
+                       callbacks=(save_cb, *callbacks), state=state,
+                       constrain=constrain)

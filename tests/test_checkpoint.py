@@ -98,3 +98,19 @@ class TestCheckpointResume:
         assert int(res2.iterations) == int(ref.iterations)
         np.testing.assert_array_equal(np.asarray(res2.eigenvalues),
                                       np.asarray(ref.eigenvalues))
+
+
+class TestShardedCheckpoint:
+    def test_sharded_checkpointed_solve(self, problem, tmp_path):
+        from fortran_davidson_tpu.parallel import default_mesh
+        A, ref = problem
+        mesh = default_mesh(8)
+        res = eigensolve_checkpointed(A, 3, str(tmp_path), every=2, mesh=mesh)
+        assert bool(res.converged)
+        assert int(res.iterations) == int(ref.iterations)
+        np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                                   np.asarray(ref.eigenvalues), atol=1e-12)
+        # resume path with a mesh
+        res2 = eigensolve_checkpointed(A, 3, str(tmp_path), every=2,
+                                       mesh=mesh)
+        assert int(res2.iterations) == int(ref.iterations)

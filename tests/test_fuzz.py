@@ -1,0 +1,75 @@
+"""Randomized configuration sweep (robustness tier).
+
+Random (n, k, method, expansion, subspace, operator-kind, dtype)
+combinations must either converge to scipy's answer or report clean
+non-convergence — never NaN, never wrong eigenvalues with
+``converged=True``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+import fortran_davidson_tpu as fdt
+from fortran_davidson_tpu.models.generators import generate_diagonal_dominant
+from fortran_davidson_tpu.ops.sparse import generate_banded_bsr
+
+
+def _cases():
+    rng = np.random.default_rng(99)
+    cases = []
+    for i in range(12):
+        n = int(rng.integers(24, 150))
+        k = int(rng.integers(1, min(6, n // 6 + 1)))
+        method = rng.choice(["DPR", "GJD"])
+        expansion = rng.choice(["doubling", "lowest-k"])
+        gen = bool(rng.integers(0, 2))
+        max_dim = (None if rng.integers(0, 2)
+                   else int(rng.integers(max(2 * k + 1, 5), max(4 * k, 8))))
+        cases.append((i, n, k, str(method), str(expansion), gen, max_dim))
+    return cases
+
+
+@pytest.mark.parametrize("seed,n,k,method,expansion,gen,max_dim", _cases())
+def test_random_config(seed, n, k, method, expansion, gen, max_dim):
+    A = generate_diagonal_dominant(n, 1e-3, key=jax.random.PRNGKey(seed))
+    B = (generate_diagonal_dominant(n, 1e-3, diag_val=1.0,
+                                    key=jax.random.PRNGKey(seed + 100))
+         if gen else None)
+    res = fdt.eigensolve(A, k, second_matrix=B, method=method,
+                         expansion=expansion, max_dim_sub=max_dim,
+                         tolerance=1e-8, max_iterations=300)
+    res.block_until_ready()
+    vals = np.asarray(res.eigenvalues)
+    assert np.all(np.isfinite(vals)), "NaN/Inf eigenvalues"
+    if bool(res.converged):
+        if gen:
+            expected = scipy.linalg.eigh(np.asarray(A), np.asarray(B),
+                                         eigvals_only=True)[:k]
+        else:
+            expected = scipy.linalg.eigh(np.asarray(A),
+                                         eigvals_only=True)[:k]
+        np.testing.assert_allclose(vals, expected, atol=1e-7)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_banded_f32(seed):
+    rng = np.random.default_rng(seed)
+    nbr = int(rng.integers(2, 8)) * 8
+    bs = int(rng.choice([8, 16]))
+    bw = int(rng.integers(1, 3))
+    op = generate_banded_bsr(nbr, bs, bandwidth=bw, coupling=1e-3,
+                             seed=seed, dtype=jnp.float32)
+    if seed % 2:
+        op = op.with_backend("pallas")
+    res = fdt.eigensolve(op, 3, tolerance=1e-4, dtype="float32",
+                         max_iterations=100)
+    res.block_until_ready()
+    vals = np.asarray(res.eigenvalues)
+    assert np.all(np.isfinite(vals))
+    if bool(res.converged):
+        expected = scipy.linalg.eigh(
+            np.asarray(op.to_dense(), np.float64), eigvals_only=True)[:3]
+        np.testing.assert_allclose(vals, expected, atol=1e-3)
