@@ -177,11 +177,16 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             return (V2, AV2, m2, ok2)
 
         def collapse(_):
-            # The Ritz products X = V W, AXW = AV W (and BXW) computed
-            # above already contain the collapsed block's columns — slice
-            # instead of recomputing the tall matmuls.
-            X2 = X[:, :init_dim]
-            AX2 = AXW[:, :init_dim]
+            # NOTE: recompute V@W2 / AV@W2 rather than slicing the Ritz
+            # products computed above — slicing looks cheaper (saves 2-3
+            # tall matmuls) but forces X/AXW/BXW to stay LIVE across the
+            # branch, raising peak HBM by up to three (n, m_max) buffers;
+            # at the 10M-row north-star scale that alone overflows the
+            # chip (measured: 17.3G > 15.75G). Collapse is 1-in-log
+            # iterations; headroom wins.
+            W2 = W[:, :init_dim]
+            X2 = jnp.dot(V, W2, preferred_element_type=dt)
+            AX2 = jnp.dot(AV, W2, preferred_element_type=dt)
             Qc, Rc = orthogonal.thin_qr_collapse(X2, method=cfg.ortho)
             AQc = orthogonal.right_tri_solve(AX2, Rc)
             Vn = jnp.zeros_like(V).at[:, :init_dim].set(Qc)
@@ -189,7 +194,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             mn = jnp.asarray(init_dim, jnp.int32)
             okn = (jnp.arange(m_max) < init_dim).astype(dt)
             if gen:
-                BQc = orthogonal.right_tri_solve(BXW[:, :init_dim], Rc)
+                BX2 = jnp.dot(BV, W2, preferred_element_type=dt)
+                BQc = orthogonal.right_tri_solve(BX2, Rc)
                 BVn = jnp.zeros_like(BV).at[:, :init_dim].set(BQc)
                 return (Vn, AVn, BVn, mn, okn)
             return (Vn, AVn, mn, okn)
