@@ -469,3 +469,155 @@ def generate_banded_bsr(n_block_rows: int, bs: int, bandwidth: int = 1,
                        np.ascontiguousarray(vals.transpose(0, 2, 1, 3)).reshape(
                            nbr, bs, K * bs),
                        backend=backend, bandwidth=bw)
+
+
+@jax.tree_util.register_pytree_node_class
+class HybridBandedOperator(LinearOperator):
+    """Band + remainder split of an unstructured sparse operator.
+
+    Unstructured row gathers run at the TPU gather-engine rate (~6e9
+    nnz/s on v5e — orders of magnitude below the streaming kernels), but
+    physically meaningful operators concentrate their mass near the
+    diagonal. This operator applies the near-diagonal part through the
+    DIA banded Pallas/einsum path and only the off-band remainder through
+    the ELL gather path:
+
+        A = Band(A)  +  Remainder(A)
+            (fast, ~2e13 nnz/s)   (slow, but now only the tail)
+
+    Build with :func:`split_band_remainder`.
+    """
+
+    def __init__(self, band: BSROperator, remainder: Optional[ELLOperator]):
+        require(remainder is None or band.shape == remainder.shape,
+                OperatorError, "band/remainder shapes differ")
+        self.band = band
+        self.remainder = remainder
+
+    @property
+    def shape(self):
+        return self.band.shape
+
+    @property
+    def dtype(self):
+        return self.band.dtype
+
+    @property
+    def band_fraction(self) -> float:
+        """Fraction of stored values captured by the banded part (host)."""
+        band_nnz = float(np.count_nonzero(np.asarray(self.band.blocks)))
+        rem_nnz = (0.0 if self.remainder is None
+                   else float(np.count_nonzero(np.asarray(
+                       self.remainder.values))))
+        total = band_nnz + rem_nnz
+        return band_nnz / total if total else 1.0
+
+    def matmat(self, block):
+        out = self.band.matmat(block)
+        if self.remainder is not None:
+            out = out + self.remainder.matmat(block)
+        return out
+
+    def diagonal(self):
+        d = self.band.diagonal()
+        if self.remainder is not None:
+            d = d + self.remainder.diagonal()
+        return d
+
+    def to_dense(self):
+        dense = self.band.to_dense()
+        if self.remainder is not None:
+            dense = dense + self.remainder.to_dense()
+        return dense
+
+    def with_backend(self, backend: str) -> "HybridBandedOperator":
+        return HybridBandedOperator(self.band.with_backend(backend),
+                                    self.remainder)
+
+    def tree_flatten(self):
+        return (self.band, self.remainder), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.band, obj.remainder = children
+        return obj
+
+
+def split_band_remainder(rows, cols, vals, n: int, *, block_size: int = 128,
+                         bandwidth: int = 1, dtype=jnp.float64,
+                         backend: str = "xla",
+                         chunk: int = 8) -> HybridBandedOperator:
+    """Split COO triplets into a DIA banded BSR part plus an ELL remainder.
+
+    Entries with ``|i//bs - j//bs| <= bandwidth`` land in the banded part
+    (dense ``bs x bs`` blocks, DIA-aligned slots — the windowed Pallas
+    kernel's layout); everything else goes to the padded-ELL remainder.
+    ``n`` is padded up to a multiple of ``block_size`` internally (padded
+    diagonal entries are 1 so the operator stays nonsingular; callers see
+    the padded dimension via ``op.shape``).
+    """
+    bs = block_size
+    bw = bandwidth
+    K = 2 * bw + 1
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals, np.dtype(jnp.dtype(dtype).name))
+    n_pad = -(-n // bs) * bs
+    nbr = n_pad // bs
+    require(nbr >= K, OperatorError,
+            f"need at least {K} block rows for bandwidth {bw}")
+
+    br = rows // bs
+    bc = cols // bs
+    in_band = np.abs(br - bc) <= bw
+
+    # Banded part: DIA-aligned dense blocks.
+    offs = np.arange(nbr)[:, None] - bw + np.arange(K)
+    dia_cols = np.clip(offs, 0, nbr - 1).astype(np.int32)
+    blocks = np.zeros((nbr, K, bs, bs), vals.dtype)
+    rb, cb, vb = rows[in_band], cols[in_band], vals[in_band]
+    slot = (cb // bs) - (rb // bs) + bw
+    np.add.at(blocks, (rb // bs, slot, rb % bs, cb % bs), vb)
+    # Padded tail of the diagonal: identity so the pencil stays regular.
+    if n_pad > n:
+        pad_idx = np.arange(n, n_pad)
+        blocks[pad_idx // bs, bw, pad_idx % bs, pad_idx % bs] += 1.0
+    band = BSROperator(
+        dia_cols,
+        np.ascontiguousarray(blocks.transpose(0, 2, 1, 3)).reshape(
+            nbr, bs, K * bs),
+        backend=backend, bandwidth=bw)
+
+    # Remainder: whatever falls outside the block band.
+    if np.any(~in_band):
+        remainder = ELLOperator.from_coo(rows[~in_band], cols[~in_band],
+                                         vals[~in_band], n_pad,
+                                         dtype=dtype, chunk=chunk)
+    else:
+        remainder = None
+    return HybridBandedOperator(band, remainder)
+
+
+def generate_local_sparse(n: int, nnz_per_row: int, locality: float = 200.0,
+                          sparsity: float = 1e-3, seed: int = 0,
+                          dtype=jnp.float64):
+    """Random symmetric diagonal-dominant sparse matrix with *locality*:
+    off-diagonal distance |i-j| ~ geometric(1/locality) — the structure of
+    discretized physical operators, where most mass hugs the diagonal.
+    Returns COO triplets ``(rows, cols, vals)`` (feed to
+    :func:`split_band_remainder` or ``ELLOperator.from_coo``).
+    """
+    rng = np.random.default_rng(seed)
+    dt = np.dtype(jnp.dtype(dtype).name)
+    n_pairs = max(n * max(nnz_per_row - 1, 0) // 2, 0)
+    i = rng.integers(0, n, n_pairs)
+    d = rng.geometric(min(1.0 / max(locality, 1.0), 1.0), n_pairs)
+    j = np.clip(i + d * rng.choice([-1, 1], n_pairs), 0, n - 1)
+    keep = j != i
+    i, j = i[keep], j[keep].astype(np.int64)
+    v = rng.random(i.shape[0]).astype(dt) * sparsity
+    rows = np.concatenate([i, j, np.arange(n)])
+    cols = np.concatenate([j, i, np.arange(n)])
+    vals = np.concatenate([v, v, np.arange(1, n + 1, dtype=dt)])
+    return rows, cols, vals
