@@ -285,6 +285,13 @@ def as_operator(obj, dtype=None) -> LinearOperator:
     """
     if isinstance(obj, LinearOperator):
         return obj
+    # scipy.sparse ingestion (duck-typed so scipy stays optional): CSR/CSC/
+    # COO matrices become padded-ELL operators.
+    if hasattr(obj, "tocsr") and hasattr(obj, "shape"):
+        from fortran_davidson_tpu.ops.sparse import ELLOperator
+        csr = obj.tocsr()
+        return ELLOperator.from_csr(csr.indptr, csr.indices, csr.data,
+                                    dtype=dtype or csr.dtype)
     arr = jnp.asarray(obj, dtype=dtype)
     if arr.ndim == 2:
         return DenseOperator(arr)

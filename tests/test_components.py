@@ -80,3 +80,27 @@ class TestExamples:
         out = capsys.readouterr().out
         assert rc == 0
         assert "warm solve" in out
+
+
+class TestScipySparseIngestion:
+    def test_csr_coo_inputs(self, rng):
+        import scipy.sparse
+        import scipy.linalg
+        from fortran_davidson_tpu.ops.sparse import ELLOperator
+        dense = np.array(generate_diagonal_dominant(40, 1e-2))
+        dense[np.abs(dense) < 5e-3] = 0.0
+        dense = (dense + dense.T) / 2
+        for mat in (scipy.sparse.csr_matrix(dense),
+                    scipy.sparse.coo_matrix(dense),
+                    scipy.sparse.csc_matrix(dense)):
+            op = fdt.as_operator(mat)
+            assert isinstance(op, ELLOperator)
+            np.testing.assert_allclose(np.asarray(op.to_dense()), dense,
+                                       atol=1e-12)
+        res = fdt.eigensolve(scipy.sparse.csr_matrix(dense), 2,
+                             tolerance=1e-8)
+        res.block_until_ready()
+        assert bool(res.converged)
+        expected = scipy.linalg.eigh(dense, eigvals_only=True)[:2]
+        np.testing.assert_allclose(np.asarray(res.eigenvalues), expected,
+                                   atol=1e-8)
