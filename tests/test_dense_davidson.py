@@ -143,3 +143,36 @@ def test_float32_mode():
     assert bool(res.converged)
     w_ref = np.linalg.eigvalsh(np.asarray(A, np.float64))[:3]
     np.testing.assert_allclose(np.asarray(res.eigenvalues), w_ref, atol=1e-3)
+
+
+def test_sticky_vs_nonsticky_convergence():
+    """Sticky = dense-engine semantics (src/davidson.f90:173-178: a pair
+    that once converged stays converged); non-sticky = free-engine
+    semantics (:416: all pairs re-checked every iteration)."""
+    from fortran_davidson_tpu.models.generators import \
+        generate_diagonal_dominant
+    import fortran_davidson_tpu as fdt
+    A = generate_diagonal_dominant(60, 1e-3)
+    r_sticky = fdt.eigensolve(A, 3, sticky_convergence=True, tolerance=1e-8)
+    r_fresh = fdt.eigensolve(A, 3, sticky_convergence=False, tolerance=1e-8)
+    assert bool(r_sticky.converged) and bool(r_fresh.converged)
+    np.testing.assert_allclose(np.asarray(r_sticky.eigenvalues),
+                               np.asarray(r_fresh.eigenvalues), atol=1e-9)
+    # Non-sticky can never exit earlier than sticky.
+    assert int(r_fresh.iterations) >= int(r_sticky.iterations) - 1
+
+
+def test_profile_trace_writes_artifacts(tmp_path):
+    from fortran_davidson_tpu.models.generators import \
+        generate_diagonal_dominant
+    from fortran_davidson_tpu.utils.observability import (annotate,
+                                                          profile_trace)
+    import fortran_davidson_tpu as fdt
+    import os
+    A = generate_diagonal_dominant(40, 1e-3)
+    with profile_trace(str(tmp_path)):
+        with annotate("davidson-solve"):
+            fdt.eigensolve(A, 2, tolerance=1e-6).block_until_ready()
+    # jax.profiler writes a plugins/profile/<ts>/ tree.
+    found = [p for p, _, files in os.walk(tmp_path) for f in files]
+    assert found, "profiler produced no artifacts"
