@@ -105,6 +105,13 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         # state (maintained by expand/collapse below) so no pass over V
         # is needed to re-derive them.
         mask = orthogonal.col_mask(m, m_max, dt) * st["col_ok"]
+        # Ritz pairs live in *pair* index space: masked_eigh sorts active
+        # eigenpairs to a prefix of width sum(mask), regardless of where
+        # the surviving basis COLUMNS sit (SVQB drops can leave interior
+        # holes in `mask`). Pair-indexed products must therefore use a
+        # prefix mask, not the scattered basis-column mask.
+        pair_mask = orthogonal.col_mask(
+            jnp.sum(mask).astype(jnp.int32), m_max, dt)
 
         # Rayleigh-Ritz on the active block (masked padded eigh).
         H = subspace.project(V, AV)
@@ -115,10 +122,10 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         # computed from the caches (the reference free path does the same,
         # ``src/davidson.f90:401-410``; the dense path's per-column DGEMVs
         # at ``:163-170`` are equivalent in exact arithmetic).
-        X = jnp.dot(V, W, preferred_element_type=dt) * mask[None, :]
+        X = jnp.dot(V, W, preferred_element_type=dt) * pair_mask[None, :]
         AXW = jnp.dot(AV, W, preferred_element_type=dt)
         BXW = jnp.dot(BV, W, preferred_element_type=dt) if gen else X
-        R = (AXW - BXW * w[None, :]) * mask[None, :]
+        R = (AXW - BXW * w[None, :]) * pair_mask[None, :]
 
         errors = jnp.linalg.norm(R[:, :k], axis=0)
         if cfg.relative:
@@ -145,10 +152,10 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 # Classic Davidson: expand by corrections for the k wanted
                 # pairs only (the reference doubles — corrections for every
                 # active pair, ``src/davidson.f90:199``).
-                corr_mask = mask * (jnp.arange(m_max) < k).astype(dt)
+                corr_mask = pair_mask * (jnp.arange(m_max) < k).astype(dt)
                 grow = k
             else:
-                corr_mask = mask
+                corr_mask = pair_mask
                 grow = None  # doubling: m -> 2m
             if cfg.method == "DPR":
                 corr = corr_mod.dpr_correction(R, w, diag_a, diag_b,

@@ -85,6 +85,14 @@ def orthonormalize_block(V, block, mask, n_reorth: int = 2,
     # leading columns of Q from a thin QR span them; trailing Q columns are
     # arbitrary orthonormal directions and get masked back to zero.
     if method == "qr":
+        # Compact survivors to a prefix first: with an interior zero
+        # column, Householder QR routes components of LATER columns onto
+        # the arbitrary completion column at the hole, and masking then
+        # discards them — the masked Q would no longer span the surviving
+        # directions. Trailing zero columns are harmless.
+        order = jnp.argsort(jnp.logical_not(alive), stable=True)
+        block = block[:, order]
+        mask = mask[order]
         q, _ = jnp.linalg.qr(block)
         q = q * mask[None, :]
         # One more sweep against V: Householder QR completes zero/near-zero

@@ -50,6 +50,14 @@ def _ell_from_coo_np(rows, cols, vals, n, pad_width: Optional[int] = None):
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals)
+    # Same index contract as the native C++ assembler: out-of-range
+    # indices raise instead of folding into a neighboring row/column.
+    if len(rows) and not (rows.min() >= 0 and cols.min() >= 0
+                          and rows.max() < n and cols.max() < n):
+        raise OperatorError(
+            f"COO indices out of range [0, {n}): rows in "
+            f"[{rows.min()}, {rows.max()}], cols in "
+            f"[{cols.min()}, {cols.max()}]")
     order = np.lexsort((cols, rows))
     rows, cols, vals = rows[order], cols[order], vals[order]
     # Sum duplicates.
@@ -546,16 +554,29 @@ class HybridBandedOperator(LinearOperator):
 
 def split_band_remainder(rows, cols, vals, n: int, *, block_size: int = 128,
                          bandwidth: int = 1, dtype=jnp.float64,
-                         backend: str = "xla",
-                         chunk: int = 8) -> HybridBandedOperator:
+                         backend: str = "xla", chunk: int = 8,
+                         pad_diag: Optional[float] = None,
+                         block_rows_multiple: int = 1
+                         ) -> HybridBandedOperator:
     """Split COO triplets into a DIA banded BSR part plus an ELL remainder.
 
     Entries with ``|i//bs - j//bs| <= bandwidth`` land in the banded part
     (dense ``bs x bs`` blocks, DIA-aligned slots — the windowed Pallas
     kernel's layout); everything else goes to the padded-ELL remainder.
-    ``n`` is padded up to a multiple of ``block_size`` internally (padded
-    diagonal entries are 1 so the operator stays nonsingular; callers see
-    the padded dimension via ``op.shape``).
+    ``n`` is padded up to a multiple of ``block_size`` internally; callers
+    see the padded dimension via ``op.shape``.
+
+    ``pad_diag`` sets the diagonal value of the padded tail rows. The
+    default (``None``) places them strictly ABOVE the spectrum (twice the
+    Gershgorin bound ``||A||_inf``, plus one) so a lowest-eigenvalue solve
+    never reports a padding pair — padding inside the spectrum (e.g. the
+    obvious 1.0) would silently displace true eigenpairs. Pass an explicit
+    value when the operator is used as the B of a pencil (``pad_diag=1.0``
+    keeps the pencil's padded block the identity).
+
+    ``block_rows_multiple``: additionally pad so the number of BLOCK rows
+    is a multiple of this — row-sharding over an N-device mesh needs the
+    block rows divisible by N (pass ``block_rows_multiple=N``).
     """
     bs = block_size
     bw = bandwidth
@@ -563,7 +584,8 @@ def split_band_remainder(rows, cols, vals, n: int, *, block_size: int = 128,
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals, np.dtype(jnp.dtype(dtype).name))
-    n_pad = -(-n // bs) * bs
+    quantum = bs * max(int(block_rows_multiple), 1)
+    n_pad = -(-n // quantum) * quantum
     nbr = n_pad // bs
     require(nbr >= K, OperatorError,
             f"need at least {K} block rows for bandwidth {bw}")
@@ -579,10 +601,15 @@ def split_band_remainder(rows, cols, vals, n: int, *, block_size: int = 128,
     rb, cb, vb = rows[in_band], cols[in_band], vals[in_band]
     slot = (cb // bs) - (rb // bs) + bw
     np.add.at(blocks, (rb // bs, slot, rb % bs, cb % bs), vb)
-    # Padded tail of the diagonal: identity so the pencil stays regular.
+    # Padded tail of the diagonal: above-spectrum by default (see
+    # docstring) so the spurious pairs sort strictly last.
     if n_pad > n:
+        if pad_diag is None:
+            row_abs = np.zeros(n, np.float64)
+            np.add.at(row_abs, rows, np.abs(vals).astype(np.float64))
+            pad_diag = 2.0 * float(row_abs.max(initial=0.0)) + 1.0
         pad_idx = np.arange(n, n_pad)
-        blocks[pad_idx // bs, bw, pad_idx % bs, pad_idx % bs] += 1.0
+        blocks[pad_idx // bs, bw, pad_idx % bs, pad_idx % bs] += vals.dtype.type(pad_diag)
     band = BSROperator(
         dia_cols,
         np.ascontiguousarray(blocks.transpose(0, 2, 1, 3)).reshape(

@@ -31,20 +31,25 @@ def initialize(coordinator_address: Optional[str] = None,
     """Initialize multi-host JAX (idempotent) and return the global mesh.
 
     With no arguments, relies on the TPU environment's automatic
-    coordinator discovery (``jax.distributed.initialize()`` defaults);
-    single-process environments skip initialization entirely and return
-    a mesh over the local devices.
+    coordinator discovery (``jax.distributed.initialize()`` defaults).
+    ``initialize`` must be the process's FIRST JAX touch: probing the
+    backend (even ``jax.process_count()``) before distributed init would
+    initialize the local backend, after which distributed init is
+    unsupported — so no such probe happens here. Single-process
+    environments (no coordinator discoverable, or a backend already up in
+    tests) fall through to a local-device mesh.
     """
     global _initialized
     if not _initialized:
-        explicit = coordinator_address is not None
-        in_multiprocess_env = explicit or jax.process_count() > 1
-        if explicit:
+        if coordinator_address is not None:
             jax.distributed.initialize(coordinator_address=coordinator_address,
                                        num_processes=num_processes,
                                        process_id=process_id)
-        elif in_multiprocess_env:
-            jax.distributed.initialize()
+        else:
+            try:
+                jax.distributed.initialize()
+            except (ValueError, RuntimeError):
+                pass  # single-process: no coordinator / backend already up
         _initialized = True
     return default_mesh(axis=axis)
 

@@ -35,7 +35,8 @@ from fortran_davidson_tpu.ops.operators import (DenseOperator,
                                                 LinearOperator,
                                                 MatrixFreeOperator,
                                                 as_operator)
-from fortran_davidson_tpu.ops.sparse import BSROperator, ELLOperator
+from fortran_davidson_tpu.ops.sparse import (BSROperator, ELLOperator,
+                                             HybridBandedOperator)
 from fortran_davidson_tpu.parallel.mesh import ROWS_AXIS, row_sharding
 from fortran_davidson_tpu.utils.dtypes import canonical_dtype
 from fortran_davidson_tpu.utils.errors import OperatorError, require
@@ -70,11 +71,32 @@ def shard_operator(op: LinearOperator, mesh: Mesh,
       an all-gather of the skinny ``(n, m)`` block — cheap relative to
       the row-local flops);
     - BSR: block-row tables;
+    - hybrid band+remainder: band via the BSR path, remainder via the ELL
+      path (both row partitions line up, so the sum stays shard-local up
+      to the remainder's gather);
     - matrix-free: every captured array whose leading dimension is ``n``
       (the callable itself must be shard-oblivious, i.e. expressed in
       global-view jnp ops).
+
+    Operators that already own their placement (``HaloBSROperator``) pass
+    through untouched. Any other kind raises ``OperatorError`` — silently
+    running with an unsharded operator would defeat the point of
+    :func:`eigensolve_sharded` without any visible signal.
     """
+    from fortran_davidson_tpu.parallel.halo import HaloBSROperator
+
     n = op.shape[0]
+    ndev = mesh.shape[axis]
+    if isinstance(op, BSROperator):
+        nbr = op.block_cols.shape[0]
+        require(nbr % ndev == 0, OperatorError,
+                f"{nbr} block rows not divisible by the {ndev}-device mesh; "
+                f"build the operator with block_rows_multiple={ndev} "
+                "(split_band_remainder) or pad the block rows")
+    elif not isinstance(op, HaloBSROperator):
+        require(n % ndev == 0, OperatorError,
+                f"operator dimension {n} not divisible by the {ndev}-device "
+                f"mesh; pad n to a multiple of {ndev}")
 
     def put(arr, ndim=None):
         return jax.device_put(arr, row_sharding(mesh, arr.ndim, axis))
@@ -85,6 +107,11 @@ def shard_operator(op: LinearOperator, mesh: Mesh,
         return DiagonalOperator(put(op.diag))
     if isinstance(op, ELLOperator):
         return ELLOperator(put(op.indices), put(op.values), chunk=op.chunk)
+    if isinstance(op, HybridBandedOperator):
+        band = shard_operator(op.band, mesh, axis)
+        rem = (None if op.remainder is None
+               else shard_operator(op.remainder, mesh, axis))
+        return HybridBandedOperator(band, rem)
     if isinstance(op, BSROperator):
         return BSROperator(put(op.block_cols), put(op.blocks),
                            backend=op.backend, bandwidth=op.bandwidth)
@@ -95,9 +122,11 @@ def shard_operator(op: LinearOperator, mesh: Mesh,
         diag = None if op.diag is None else put(op.diag)
         return MatrixFreeOperator(op.fn, n, dtype=op.dtype, diag=diag,
                                   captured=captured)
-    # Unknown operator kinds (e.g. already-sharded halo operators) pass
-    # through untouched — they own their placement.
-    return op
+    if isinstance(op, HaloBSROperator):
+        return op  # owns its placement (shard_map + ppermute inside)
+    raise OperatorError(
+        f"shard_operator: no sharding rule for {type(op).__name__}; "
+        "refusing to run eigensolve_sharded with an unsharded operator")
 
 
 def eigensolve_sharded(matrix, lowest: int, mesh: Mesh, second_matrix=None,

@@ -64,6 +64,16 @@ def test_native_out_of_range_raises(lib):
         native.ell_from_coo([0, 9], [0, 0], [1.0, 1.0], 5)
 
 
+def test_fallback_out_of_range_raises():
+    # The numpy fallback must honor the native path's index contract:
+    # a negative col would otherwise fold into key = row*n + col and
+    # silently land the entry at (row-1, n-1).
+    with pytest.raises(ValueError):
+        _ell_from_coo_np([1, 2], [0, -1], [1.0, 1.0], 5)
+    with pytest.raises(ValueError):
+        _ell_from_coo_np([0, 9], [0, 0], [1.0, 1.0], 5)
+
+
 def test_from_coo_native_and_fallback_agree(lib, rng):
     n = 48
     rows, cols, vals = _random_coo(n, 300, rng)
