@@ -18,7 +18,9 @@ from fortran_davidson_tpu.ops.operators import (
     from_element_fn,
 )
 from fortran_davidson_tpu.ops.sparse import BSROperator, ELLOperator
-from fortran_davidson_tpu.solver import eigensolve, generalized_eigensolver
+from fortran_davidson_tpu.solver import (eigensolve,
+                                         generalized_eigensolver,
+                                         polish_eigenpairs)
 
 __version__ = "0.2.0"
 
@@ -36,5 +38,6 @@ __all__ = [
     "eigensolve_checkpointed",
     "from_element_fn",
     "generalized_eigensolver",
+    "polish_eigenpairs",
     "__version__",
 ]

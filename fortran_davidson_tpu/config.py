@@ -63,6 +63,13 @@ class DavidsonOptions:
         padded width for large k, e.g. lowest-20 with max_dim 200:
         doubling pads to 320 columns, lowest-k to 220).
       dtype: float64 (reference parity) or float32.
+      refined: enable the double-single high-precision path (f32 TPU
+        hardware reaching the reference's real64-grade accuracy):
+        compensated Gram matrices in orthonormalization and projection,
+        true residuals with the diagonal cancellation in exact
+        two_prod/two_sum arithmetic (one extra off-diagonal operator
+        application on the k wanted columns per iteration), and
+        Rayleigh-refined reported eigenvalues. See ``core.refine``.
     """
 
     method: str = "DPR"
@@ -79,6 +86,7 @@ class DavidsonOptions:
     orthonormalization: str = "cholqr2"
     expansion: str = "doubling"
     dtype: str = "float64"
+    refined: bool = False
 
     def __post_init__(self):
         validate_method(self.method)
@@ -118,6 +126,7 @@ class ResolvedConfig:
     expansion: str
     dtype: str
     generalized: bool
+    refined: bool = False
 
 
 def merge_options(options: Optional[DavidsonOptions],
@@ -194,6 +203,7 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
         expansion=str(opts.expansion),
         dtype=str(jnp.dtype(opts.dtype)),
         generalized=generalized,
+        refined=bool(opts.refined),
     )
 
 

@@ -78,15 +78,23 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
 
 def run_state(cfg: ResolvedConfig, A: LinearOperator,
               B: Optional[LinearOperator], state: dict,
-              constrain=None) -> dict:
+              constrain=None, A_off: Optional[LinearOperator] = None,
+              B_off: Optional[LinearOperator] = None) -> dict:
     """Iterate the Davidson while_loop until convergence, ``chunk_end``,
-    or ``max_iterations``."""
+    or ``max_iterations``.
+
+    ``A_off``/``B_off``: off-diagonal splits for the refined-precision
+    path (required when ``cfg.refined``; see ``core.refine``).
+    """
     n = A.shape[0]
     k = cfg.lowest
     m_max = cfg.m_max
     init_dim = cfg.init_dim
     dt = jnp.dtype(cfg.dtype)
     gen = B is not None
+    precise = cfg.refined
+    if precise and A_off is None:
+        raise ValueError("cfg.refined requires A_off (= A.offdiag())")
 
     diag_a = A.diagonal().astype(dt)
     diag_b = B.diagonal().astype(dt) if gen else jnp.ones((n,), dt)
@@ -114,8 +122,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             jnp.sum(mask).astype(jnp.int32), m_max, dt)
 
         # Rayleigh-Ritz on the active block (masked padded eigh).
-        H = subspace.project(V, AV)
-        S = subspace.project(V, BV) if gen else None
+        H = subspace.project(V, AV, precise=precise)
+        S = subspace.project(V, BV, precise=precise) if gen else None
         w, W = subspace.ritz_decomposition(H, S, mask)
 
         # Ritz vectors and block residuals R = (AV)W - (BV)W diag(w),
@@ -127,10 +135,25 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         BXW = jnp.dot(BV, W, preferred_element_type=dt) if gen else X
         R = (AXW - BXW * w[None, :]) * pair_mask[None, :]
 
-        errors = jnp.linalg.norm(R[:, :k], axis=0)
+        if precise:
+            # Refined path: TRUE residuals + Rayleigh-refined eigenvalues
+            # for the k wanted pairs — the cache-based R above still
+            # drives corrections (it shapes the subspace; its ~eps*||A||
+            # noise is projected out by CGS2), but convergence decisions
+            # and reported values use the compensated measurement, which
+            # resolves residuals far below the f32 accumulation floor.
+            from fortran_davidson_tpu.core import refine
+            ref = refine.refined_pairs(
+                A_off, diag_a, X[:, :k],
+                B_off=B_off, diag_b=diag_b if gen else None)
+            errors = ref.errors.astype(dt)
+            w_report = jnp.concatenate([ref.evals.astype(dt), w[k:]])
+        else:
+            errors = jnp.linalg.norm(R[:, :k], axis=0)
+            w_report = w
         if cfg.relative:
             conv_now = errors < cfg.tolerance * jnp.maximum(
-                jnp.abs(w[:k]), 1.0)
+                jnp.abs(w_report[:k]), 1.0)
         else:
             conv_now = errors < cfg.tolerance
         has_conv = (st["has_conv"] | conv_now) if cfg.sticky else conv_now
@@ -168,7 +191,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                     diag_a=diag_a if precond else None,
                     diag_b=diag_b if (precond and gen) else None)
             Q, alive_q = orthogonal.orthonormalize_block(
-                V, corr, corr_mask, n_reorth=cfg.n_reorth, method=cfg.ortho)
+                V, corr, corr_mask, n_reorth=cfg.n_reorth, method=cfg.ortho,
+                precise=precise)
             # New block columns occupy the prefix [0, m); shift them to
             # [m, 2m) and add into the zero-padded region. 2m <= m_max is
             # guaranteed by the doubling schedule (config.subspace_cap).
@@ -194,7 +218,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             W2 = W[:, :init_dim]
             X2 = jnp.dot(V, W2, preferred_element_type=dt)
             AX2 = jnp.dot(AV, W2, preferred_element_type=dt)
-            Qc, Rc = orthogonal.thin_qr_collapse(X2, method=cfg.ortho)
+            Qc, Rc = orthogonal.thin_qr_collapse(X2, method=cfg.ortho,
+                                                 precise=precise)
             AQc = orthogonal.right_tri_solve(AX2, Rc)
             Vn = jnp.zeros_like(V).at[:, :init_dim].set(Qc)
             AVn = jnp.zeros_like(AV).at[:, :init_dim].set(AQc)
@@ -221,7 +246,7 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             V=Vn, AV=AVn, m=mn, col_ok=okn, it=it + 1,
             chunk_end=st["chunk_end"],
             has_conv=has_conv, all_conv=all_conv,
-            evals=w[:k], evecs=X[:, :k], errors=errors,
+            evals=w_report[:k], evecs=X[:, :k], errors=errors,
             history=history, dims=dims,
         )
         if gen:
@@ -248,9 +273,10 @@ def pack_result(final: dict) -> DavidsonResult:
 
 def _engine(cfg: ResolvedConfig, A: LinearOperator,
             B: Optional[LinearOperator],
-            constrain=None) -> DavidsonResult:
+            constrain=None, A_off=None, B_off=None) -> DavidsonResult:
     state = init_state(cfg, A, B, constrain=constrain)
-    final = run_state(cfg, A, B, state, constrain=constrain)
+    final = run_state(cfg, A, B, state, constrain=constrain,
+                      A_off=A_off, B_off=B_off)
     return pack_result(final)
 
 
@@ -269,8 +295,9 @@ def get_engine(cfg: ResolvedConfig, constrain=None):
     key = (cfg, constrain)
     fn = _ENGINE_CACHE.get(key)
     if fn is None:
-        def run(A, B):
-            return _engine(cfg, A, B, constrain=constrain)
+        def run(A, B, A_off=None, B_off=None):
+            return _engine(cfg, A, B, constrain=constrain,
+                           A_off=A_off, B_off=B_off)
         fn = jax.jit(run)
         _ENGINE_CACHE[key] = fn
     return fn
@@ -292,7 +319,9 @@ def get_stepper(cfg: ResolvedConfig, constrain=None):
     if pair is None:
         init = jax.jit(lambda A, B: init_state(cfg, A, B, constrain=constrain))
         step = jax.jit(
-            lambda A, B, st: run_state(cfg, A, B, st, constrain=constrain))
+            lambda A, B, st, A_off=None, B_off=None: run_state(
+                cfg, A, B, st, constrain=constrain,
+                A_off=A_off, B_off=B_off))
         pair = (init, step)
         _STEPPER_CACHE[key] = pair
     return pair
@@ -301,20 +330,24 @@ def get_stepper(cfg: ResolvedConfig, constrain=None):
 def run_chunked(cfg: ResolvedConfig, A: LinearOperator,
                 B: Optional[LinearOperator], *, every: int,
                 callbacks=(), state: Optional[dict] = None,
-                constrain=None) -> DavidsonResult:
+                constrain=None, A_off=None,
+                B_off=None) -> DavidsonResult:
     """Chunked driver: run ``every`` iterations per device dispatch, then
     sync to host and invoke ``callbacks(state)`` — the hook point for
     checkpointing, convergence logging, and profiler steps. Semantics are
     identical to the one-shot engine (the while_loop's exit conditions
     are re-evaluated on device inside every chunk)."""
     init, step = get_stepper(cfg, constrain)
+    if cfg.refined and A_off is None:
+        A_off = A.offdiag()
+        B_off = B.offdiag() if B is not None else None
     st = init(A, B) if state is None else state
     it = int(st["it"])
     while True:
         end = min(it + every, cfg.max_iterations)
         st = dict(st)
         st["chunk_end"] = jnp.asarray(end, jnp.int32)
-        st = step(A, B, st)
+        st = step(A, B, st, A_off, B_off)
         it = int(st["it"])  # host sync once per chunk
         for cb in callbacks:
             cb(st)

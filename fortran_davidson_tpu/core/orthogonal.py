@@ -49,7 +49,7 @@ def project_out(V, block):
 
 
 def orthonormalize_block(V, block, mask, n_reorth: int = 2,
-                         method: str = "cholqr2"):
+                         method: str = "cholqr2", precise: bool = False):
     """Orthonormalize ``block`` against the padded basis ``V`` and itself.
 
     Args:
@@ -109,10 +109,20 @@ def orthonormalize_block(V, block, mask, n_reorth: int = 2,
     # invents directions), so the combinations stay orthogonal to V and
     # no extra cleanup sweep is needed — saving four streaming passes
     # over the (n, m_max) arrays per iteration.
-    return svqb(block, mask, return_alive=True)
+    return svqb(block, mask, return_alive=True, precise=precise)
 
 
-def cholqr_once(X, unit_diag=None, jitter: float = 0.0):
+def _gram(X, precise: bool):
+    """Gram X^T X — compensated when ``precise`` (see subspace.project)."""
+    if precise:
+        from fortran_davidson_tpu.utils.ds import gram_ds
+        g = gram_ds(X)
+        return g.hi + g.lo
+    return jnp.dot(X.T, X, preferred_element_type=X.dtype)
+
+
+def cholqr_once(X, unit_diag=None, jitter: float = 0.0,
+                precise: bool = False):
     """One CholeskyQR pass: X = Q R via R = chol(X^T X)^T, Q = X R^{-1}.
 
     All heavy work is one Gram matmul (MXU; a psum under row sharding)
@@ -124,8 +134,13 @@ def cholqr_once(X, unit_diag=None, jitter: float = 0.0):
     ``unit_diag``: optional (m,) 0/1 mask; positions with 0 get a unit
     Gram diagonal so exactly-zero (padded) columns pass through as zero
     columns instead of breaking the factorization.
+
+    ``precise``: compensated Gram — the orthogonality of the basis is
+    bounded by how accurately the Gram can be MEASURED; a naive f32 Gram
+    at n=10M mismeasures by ~sqrt(n)*eps ~ 2e-4 and no number of
+    CholeskyQR passes can correct below that.
     """
-    G = jnp.dot(X.T, X, preferred_element_type=X.dtype)
+    G = _gram(X, precise)
     if unit_diag is not None:
         G = G + jnp.diag(1.0 - unit_diag)
     if jitter:
@@ -139,15 +154,16 @@ def cholqr_once(X, unit_diag=None, jitter: float = 0.0):
     return Qt.T, L.T
 
 
-def cholqr2(X, unit_diag=None, jitter: float = 0.0):
+def cholqr2(X, unit_diag=None, jitter: float = 0.0, precise: bool = False):
     """CholeskyQR2 (Yamamoto et al.): two passes give orthogonality at
     working precision for cond(X) up to ~1/sqrt(eps)."""
-    Q1, R1 = cholqr_once(X, unit_diag, jitter)
-    Q2, R2 = cholqr_once(Q1, unit_diag, jitter)
+    Q1, R1 = cholqr_once(X, unit_diag, jitter, precise)
+    Q2, R2 = cholqr_once(Q1, unit_diag, jitter, precise)
     return Q2, jnp.dot(R2, R1, preferred_element_type=X.dtype)
 
 
-def svqb(block, mask, rank_rtol=None, return_alive: bool = False):
+def svqb(block, mask, rank_rtol=None, return_alive: bool = False,
+         precise: bool = False):
     """SVQB (Stathopoulos & Wu 2002): rank-revealing block
     orthonormalization via the eigendecomposition of the Gram matrix.
 
@@ -172,7 +188,7 @@ def svqb(block, mask, rank_rtol=None, return_alive: bool = False):
     inv = jnp.where(norms > 0, 1.0 / jnp.where(norms > 0, norms, 1.0), 0.0)
     Bh = block * inv[None, :]
     active = (norms > 0).astype(dt) * mask
-    G = jnp.dot(Bh.T, Bh, preferred_element_type=dt)
+    G = _gram(Bh, precise)
     G = G + jnp.diag(1.0 - active)  # unit rows for inactive/zero columns
     s, U = jnp.linalg.eigh(G)
     if rank_rtol is None:
@@ -183,7 +199,7 @@ def svqb(block, mask, rank_rtol=None, return_alive: bool = False):
     Q = jnp.dot(Bh, U * factor[None, :], preferred_element_type=dt)
     # Refinement pass (the CholQR2 second sweep) on the surviving columns.
     alive = (jnp.sum(Q * Q, axis=0) > 0.5).astype(dt)
-    Q, _ = cholqr_once(Q * alive[None, :], unit_diag=alive)
+    Q, _ = cholqr_once(Q * alive[None, :], unit_diag=alive, precise=precise)
     Q = Q * alive[None, :]
     # Kept directions come out in eigh order, interleaved with zero
     # columns (dropped noise sorts first, the padded unit block wherever
@@ -195,7 +211,7 @@ def svqb(block, mask, rank_rtol=None, return_alive: bool = False):
     return Q[:, order]
 
 
-def thin_qr_collapse(X, method: str = "cholqr2"):
+def thin_qr_collapse(X, method: str = "cholqr2", precise: bool = False):
     """Thin QR used at subspace collapse.
 
     At collapse the reference sets ``V <- V @ W[:, :init_dim]``
@@ -213,7 +229,7 @@ def thin_qr_collapse(X, method: str = "cholqr2"):
     """
     if method == "qr":
         return jnp.linalg.qr(X)
-    return cholqr2(X)
+    return cholqr2(X, precise=precise)
 
 
 def right_tri_solve(Y, R):

@@ -42,8 +42,19 @@ def initial_subspace(diag, m_init: int, m_max: int):
     return V
 
 
-def project(V, AV):
-    """Projected (Gram) matrix H = V^T (A V) on the padded basis."""
+def project(V, AV, precise: bool = False):
+    """Projected (Gram) matrix H = V^T (A V) on the padded basis.
+
+    ``precise``: chunked-compensated contraction (``utils.ds.gram_ds``) —
+    bounds the accumulation error to ~eps*chunk/sqrt(n) instead of the
+    naive ~eps*sqrt(n) (which at n=10M is ~2e-4 and becomes the f32
+    convergence floor). The result is still rounded to the working dtype
+    (~eps relative), which is what the downstream eigh can use.
+    """
+    if precise:
+        from fortran_davidson_tpu.utils.ds import gram_ds
+        g = gram_ds(V, AV)
+        return g.hi + g.lo
     return jnp.dot(V.T, AV, preferred_element_type=AV.dtype)
 
 

@@ -42,6 +42,13 @@ def main(argv=None) -> int:
                         default="doubling",
                         help="lowest-k shrinks the padded basis for large "
                         "k (e.g. lowest-20)")
+    parser.add_argument("--refined", action="store_true",
+                        help="double-single high-precision path: true "
+                        "compensated residuals + Rayleigh-refined "
+                        "eigenvalues (reach 1e-6-grade tolerances in f32)")
+    parser.add_argument("--polish", type=int, default=0, metavar="ITERS",
+                        help="post-solve double-single eigenpair polish "
+                        "(residuals to the 1e-8 regime)")
     args = parser.parse_args(argv)
 
     import jax
@@ -66,7 +73,8 @@ def main(argv=None) -> int:
 
     common = dict(method="DPR", tolerance=args.tolerance,
                   max_iterations=args.max_iterations, dtype="float32",
-                  relative_tolerance=True, expansion=args.expansion)
+                  relative_tolerance=True, expansion=args.expansion,
+                  refined=args.refined)
 
     if args.sharded:
         from fortran_davidson_tpu.parallel import (default_mesh,
@@ -92,6 +100,16 @@ def main(argv=None) -> int:
           f"{iters} iterations, converged={bool(res.converged)}")
     print("eigenvalues:", [f"{float(v):.6f}" for v in res.eigenvalues])
     print("residuals:  ", [f"{float(v):.2e}" for v in res.residual_norms])
+    if args.polish:
+        from fortran_davidson_tpu import polish_eigenpairs
+        t0 = time.perf_counter()
+        pol = polish_eigenpairs(op, res, iterations=args.polish)
+        errs = [float(v) for v in pol.errors]
+        print(f"polish ({args.polish} iters): "
+              f"{time.perf_counter() - t0:.2f} s")
+        print("polished eigenvalues:", [f"{float(v):.9f}"
+                                        for v in pol.evals])
+        print("polished residuals:  ", [f"{v:.2e}" for v in errs])
     return 0 if bool(res.converged) else 1
 
 

@@ -95,8 +95,15 @@ def surrogate_hamiltonian(n: int, coupling: float = 1e-4,
     def apply(X, diag, U, w):
         return low_rank_plus_diag_apply(X, diag, U, w)
 
+    def offdiag_apply(X, diag, U, w):
+        # Exact off-diagonal split for the refined-precision path: the
+        # low-rank coupling with its own diagonal removed, no big-diag
+        # cancellation anywhere.
+        return low_rank_plus_diag_apply(X, jnp.zeros_like(diag), U, w)
+
     return MatrixFreeOperator(apply, n, dtype=dt, diag=diag,
-                              captured=(diag, U, w))
+                              captured=(diag, U, w),
+                              offdiag_fn=offdiag_apply)
 
 
 def surrogate_overlap(n: int, coupling: float = 1e-5,
@@ -113,5 +120,9 @@ def surrogate_overlap(n: int, coupling: float = 1e-5,
     def apply(X, diag, U, w):
         return low_rank_plus_diag_apply(X, diag, U, w)
 
+    def offdiag_apply(X, diag, U, w):
+        return low_rank_plus_diag_apply(X, jnp.zeros_like(diag), U, w)
+
     return MatrixFreeOperator(apply, n, dtype=dt, diag=diag,
-                              captured=(diag, U, w))
+                              captured=(diag, U, w),
+                              offdiag_fn=offdiag_apply)

@@ -53,6 +53,22 @@ class LinearOperator(abc.ABC):
         """Return the n-vector of diagonal entries."""
 
     # ------------------------------------------------------------------
+    def offdiag(self) -> "LinearOperator":
+        """The operator minus its diagonal, as a new operator.
+
+        The high-precision (refined) solver path evaluates residuals as
+        ``r = A_off @ x + ds((d - λ)·x)`` — for diagonal-dominant
+        operators the entire f32 cancellation error lives in the diagonal
+        term, which double-single elementwise arithmetic computes to
+        ~eps^2 (see ``utils.ds.shifted_diag_apply``). Exact structural
+        overrides (sparse formats zero their stored diagonal entries) have
+        no error floor; this generic fallback computes
+        ``matmat(x) - diagonal()·x`` and therefore retains the operator
+        apply's own ~eps·|d_i x_i| rounding — still far below the naive
+        ~sqrt(n)·eps floor, but not exact.
+        """
+        return SubtractDiagOperator(self)
+
     def matvec(self, vec):
         """Apply to a single vector (thin wrapper over block apply)."""
         return self.matmat(vec[:, None])[:, 0]
@@ -65,6 +81,43 @@ class LinearOperator(abc.ABC):
     @property
     def n(self) -> int:
         return self.shape[0]
+
+
+@jax.tree_util.register_pytree_node_class
+class SubtractDiagOperator(LinearOperator):
+    """Generic off-diagonal wrapper: ``A_off @ x = A @ x - d ∘ x``.
+
+    Fallback for operators without a structural diagonal split (see
+    :meth:`LinearOperator.offdiag`); carries the base apply's
+    ~eps·|d_i x_i| rounding in the diagonal term.
+    """
+
+    def __init__(self, base: LinearOperator):
+        self.base = base
+        self._diag = base.diagonal()
+
+    @property
+    def shape(self):
+        return self.base.shape
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    def matmat(self, block):
+        return self.base.matmat(block) - self._diag[:, None] * block
+
+    def diagonal(self):
+        return jnp.zeros_like(self._diag)
+
+    def tree_flatten(self):
+        return (self.base, self._diag), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.base, obj._diag = children
+        return obj
 
 
 @jax.tree_util.register_pytree_node_class
@@ -94,6 +147,14 @@ class DenseOperator(LinearOperator):
 
     def diagonal(self):
         return jnp.diagonal(self.matrix)
+
+    def offdiag(self):
+        n = self.matrix.shape[0]
+        eye = jnp.eye(n, dtype=bool)
+        return DenseOperator(jnp.where(eye, 0, self.matrix))
+
+    def to_dense(self):
+        return self.matrix
 
     def tree_flatten(self):
         return (self.matrix,), None
@@ -128,6 +189,12 @@ class DiagonalOperator(LinearOperator):
     def diagonal(self):
         return self.diag
 
+    def offdiag(self):
+        return DiagonalOperator(jnp.zeros_like(self.diag))
+
+    def to_dense(self):
+        return jnp.diag(self.diag)
+
     def tree_flatten(self):
         return (self.diag,), None
 
@@ -158,12 +225,16 @@ class MatrixFreeOperator(LinearOperator):
     """
 
     def __init__(self, fn: Callable, n: int, dtype=jnp.float64,
-                 diag=None, captured=()):
+                 diag=None, captured=(), offdiag_fn: Optional[Callable] = None):
         self.fn = fn
         self._n = int(n)
         self._dtype = jnp.dtype(dtype)
         self.diag = None if diag is None else jnp.asarray(diag)
         self.captured = tuple(captured)
+        # Optional exact off-diagonal apply (same signature as fn) for the
+        # refined/high-precision path; without it offdiag() falls back to
+        # the generic matmat - diag·x wrapper.
+        self.offdiag_fn = offdiag_fn
 
     @property
     def shape(self):
@@ -183,14 +254,23 @@ class MatrixFreeOperator(LinearOperator):
             return self.diag
         return probe_diagonal(self.matmat, self._n, self._dtype)
 
+    def offdiag(self):
+        if self.offdiag_fn is None:
+            return super().offdiag()
+        return MatrixFreeOperator(self.offdiag_fn, self._n,
+                                  dtype=self._dtype,
+                                  diag=jnp.zeros((self._n,), self._dtype),
+                                  captured=self.captured)
+
     def tree_flatten(self):
-        return (self.diag, self.captured), (self.fn, self._n, self._dtype)
+        return ((self.diag, self.captured),
+                (self.fn, self._n, self._dtype, self.offdiag_fn))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         obj.diag, obj.captured = children
-        obj.fn, obj._n, obj._dtype = aux
+        obj.fn, obj._n, obj._dtype, obj.offdiag_fn = aux
         return obj
 
 

@@ -189,6 +189,14 @@ class ELLOperator(LinearOperator):
         on_diag = self.indices == jnp.arange(n, dtype=jnp.int32)[:, None]
         return jnp.sum(jnp.where(on_diag, self.values, 0), axis=1)
 
+    def offdiag(self):
+        """Exact off-diagonal split: stored diagonal slots zeroed."""
+        n = self.indices.shape[0]
+        on_diag = self.indices == jnp.arange(n, dtype=jnp.int32)[:, None]
+        return ELLOperator(self.indices,
+                           jnp.where(on_diag, 0, self.values),
+                           chunk=self.chunk)
+
     def to_dense(self):
         n, L = self.indices.shape
         dense = jnp.zeros((n, n), self.dtype)
@@ -375,6 +383,28 @@ class BSROperator(LinearOperator):
             self._blocks4().transpose(0, 2, 1, 3))
         return dense.transpose(0, 2, 1, 3).reshape(n, n)
 
+    def offdiag(self) -> "BSROperator":
+        """Exact off-diagonal split: diagonal entries of on-diagonal
+        blocks zeroed (one O(nnz) pass at construction, not solve time)."""
+        nbr, bs, kbs = self.blocks.shape
+        K = kbs // bs
+        i = jax.lax.broadcasted_iota(jnp.int32, (bs, K * bs), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (bs, K * bs), 1)
+        in_block_diag = i == (j % bs)  # (bs, K*bs): diag of each slot
+        slot_of = j // bs
+        if self.bandwidth is not None:
+            own = (slot_of == self.bandwidth)[None, :, :]
+            mask = own & in_block_diag[None, :, :]
+        else:
+            # slot k of row r is the diagonal block iff block_cols[r,k]==r
+            own = (self.block_cols
+                   == jnp.arange(nbr, dtype=jnp.int32)[:, None])  # (nbr, K)
+            mask = own[:, None, :][
+                :, :, slot_of[0]] & in_block_diag[None, :, :]
+        return BSROperator(self.block_cols,
+                           jnp.where(mask, 0, self.blocks),
+                           backend=self.backend, bandwidth=self.bandwidth)
+
     def with_backend(self, backend: str) -> "BSROperator":
         return BSROperator(self.block_cols, self.blocks, backend=backend,
                            bandwidth=self.bandwidth)
@@ -537,6 +567,10 @@ class HybridBandedOperator(LinearOperator):
         if self.remainder is not None:
             dense = dense + self.remainder.to_dense()
         return dense
+
+    def offdiag(self) -> "HybridBandedOperator":
+        rem = None if self.remainder is None else self.remainder.offdiag()
+        return HybridBandedOperator(self.band.offdiag(), rem)
 
     def with_backend(self, backend: str) -> "HybridBandedOperator":
         return HybridBandedOperator(self.band.with_backend(backend),

@@ -180,6 +180,21 @@ class HaloBSROperator(LinearOperator):
             jnp.where(own[:, None, :, None], b4, 0), axis=2)
         return jnp.diagonal(diag_blocks, axis1=1, axis2=2).reshape(-1)
 
+    def offdiag(self) -> "HaloBSROperator":
+        """Exact off-diagonal split (sharding preserved: the mask is a
+        shard-local elementwise where on the row-sharded tables)."""
+        nbr, bs, kbs = self.blocks.shape
+        K = kbs // bs
+        i = jax.lax.broadcasted_iota(jnp.int32, (bs, kbs), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (bs, kbs), 1)
+        in_block_diag = i == (j % bs)
+        own = self.block_cols == jnp.arange(nbr, dtype=jnp.int32)[:, None]
+        mask = own[:, None, :][:, :, (j // bs)[0]] & in_block_diag[None]
+        return HaloBSROperator(self.block_cols,
+                               jnp.where(mask, 0, self.blocks),
+                               self.bandwidth, self.mesh, self.axis,
+                               backend=self.backend, _placed=True)
+
     # -- pytree ----------------------------------------------------------
     def tree_flatten(self):
         return ((self.block_cols, self.blocks),

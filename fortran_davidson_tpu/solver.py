@@ -57,7 +57,40 @@ def eigensolve(matrix, lowest: int, second_matrix=None,
 
     cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None)
     engine = get_engine(cfg)
+    if cfg.refined:
+        # High-precision path: the engine additionally receives the
+        # off-diagonal splits (structural for sparse formats — see
+        # LinearOperator.offdiag) used for compensated true residuals.
+        return engine(A, B, A.offdiag(), B.offdiag() if B else None)
     return engine(A, B)
+
+
+def polish_eigenpairs(matrix, result: DavidsonResult, iterations: int = 3,
+                      second_matrix=None, dtype=None):
+    """Double-single post-refinement of a solve's eigenpairs.
+
+    f32 storage of an eigenvector floors its attainable residual at
+    ~eps*|d ∘ x| — this pass re-iterates the k returned pairs with the
+    vectors held as double-single (hi+lo f32 pairs) and all diagonal
+    cancellations in exact compensated arithmetic, converging absolute
+    residuals to the reference's real64 regime (1e-8 and below) for
+    diagonal-dominant operators. See :func:`core.refine.polish`.
+
+    Returns a ``core.refine.PolishResult`` (evals, evecs_hi, evecs_lo,
+    errors). ``evecs_hi + evecs_lo`` is the f64-grade eigenvector; use
+    ``evecs_hi`` alone where a plain f32 array is needed.
+    """
+    from fortran_davidson_tpu.core.refine import polish
+
+    dt = canonical_dtype(dtype or result.eigenvectors.dtype)
+    A = as_operator(matrix, dtype=dt)
+    B = None if second_matrix is None else as_operator(second_matrix,
+                                                       dtype=dt)
+    return polish(
+        A.offdiag(), A.diagonal(), result.eigenvalues, result.eigenvectors,
+        iterations=iterations,
+        B_off=None if B is None else B.offdiag(),
+        diag_b=None if B is None else B.diagonal())
 
 
 def generalized_eigensolver(matrix, lowest: int, method: str = "DPR",

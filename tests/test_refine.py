@@ -1,0 +1,136 @@
+"""Refined-precision residuals/Rayleigh quotients/polish vs f64 oracle.
+
+Scale chosen so the naive f32 path demonstrably floors (sqrt(n)*eps ~
+2e-5 at n=65k) while f64 scipy.sparse can still provide ground truth.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse
+import scipy.sparse.linalg
+
+from fortran_davidson_tpu.core import refine
+from fortran_davidson_tpu.ops.sparse import (ELLOperator,
+                                             generate_local_sparse)
+
+N = 65536
+K = 3
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rows, cols, vals = generate_local_sparse(N, 8, locality=16.0, seed=42)
+    # Round the operator itself to f32 so "truth" is the f32-stored
+    # operator evaluated in f64 — isolating arithmetic error from
+    # storage error.
+    vals32 = vals.astype(np.float32)
+    op = ELLOperator.from_coo(rows, cols, vals32, N, dtype=jnp.float32)
+    A64 = scipy.sparse.coo_matrix(
+        (vals32.astype(np.float64), (rows, cols)), shape=(N, N)).tocsr()
+    # Shift-invert at 0: orders of magnitude faster than which="SA" for
+    # the wide spectrum (diag ~ 1..n).
+    w, V = scipy.sparse.linalg.eigsh(A64.tocsc(), k=K, sigma=0.0,
+                                     which="LM", tol=1e-12)
+    return op, A64, w, V
+
+
+def test_refined_pairs_match_f64_truth(problem):
+    op, A64, w, V = problem
+    X32 = jnp.asarray(V.astype(np.float32))
+    # f64 truth of the f32-ROUNDED vectors: Rayleigh quotient + residual.
+    X64 = np.asarray(X32, np.float64)
+    nrm = np.linalg.norm(X64, axis=0)
+    lam64 = np.sum(X64 * (A64 @ X64), axis=0) / nrm**2
+    R64 = A64 @ X64 - X64 * lam64[None, :]
+    err64 = np.linalg.norm(R64, axis=0)
+
+    got = refine.refined_pairs(op.offdiag(), op.diagonal(), X32)
+    # Refined eigenvalues agree with the f64 Rayleigh quotient far below
+    # f32 eigh precision (~eps*|λ| would be ~6e-8*λ; we ask for 30x that
+    # headroom over the naive sqrt(n)-floor).
+    np.testing.assert_allclose(np.asarray(got.evals, np.float64), lam64,
+                               rtol=3e-7, atol=1e-9)
+    # The refined measurement's documented floor is the f32 rounding of
+    # the off-diagonal apply and the final (canceling) add:
+    # ~sqrt(n)*eps*||E x||_elem. For this op that is ~1e-7; the naive
+    # f32 path floors ~3 orders higher (sqrt(n)*eps*λ).
+    errs = np.asarray(got.errors, np.float64)
+    assert (errs >= err64 - 1e-9).all()     # never under-reports
+    assert errs.max() < 5e-7                # resolves to the E-floor
+
+    AX = np.asarray(op.matmat(X32), np.float64)
+    naive = np.linalg.norm(AX - X64 * np.asarray(got.evals)[None, :],
+                           axis=0)
+    assert naive.max() > 30 * errs.max()
+
+
+def test_polish_reaches_sub_f32_residuals(problem):
+    op, A64, w, V = problem
+    X32 = jnp.asarray(V.astype(np.float32))
+    res = refine.polish(op.offdiag(), op.diagonal(),
+                        jnp.asarray(w.astype(np.float32)), X32,
+                        iterations=4)
+    x64 = (np.asarray(res.evecs_hi, np.float64)
+           + np.asarray(res.evecs_lo, np.float64))
+    lam = np.sum(x64 * (A64 @ x64), axis=0) / np.sum(x64 * x64, axis=0)
+    R = A64 @ x64 - x64 * lam[None, :]
+    err = np.linalg.norm(R, axis=0)
+    # f32 STORAGE floors the residual at ~eps*λ ~ 1e-7*λ here; the DS
+    # polish must land well below that floor.
+    assert err.max() < 2e-9 * max(np.abs(lam).max(), 1.0)
+    np.testing.assert_allclose(lam, w, rtol=1e-10, atol=1e-10)
+    # Reported errors never under-report and sit at/below the refined
+    # measurement floor (~sqrt(n)*eps*||E x||).
+    errs = np.asarray(res.errors, np.float64)
+    assert (errs >= err - 1e-9).all()
+    assert errs.max() < 5e-7
+
+
+def test_refined_solve_beats_f32_floor(problem):
+    """eigensolve(refined=True) at f32 converges to tolerances the naive
+    f32 path cannot even measure (n=65k naive floor ~ sqrt(n)*eps*λ ~
+    1e-5); eigenvalues match the f64 oracle."""
+    import fortran_davidson_tpu as fdt
+    op, A64, w, V = problem
+    res = fdt.eigensolve(op, K, dtype="float32", refined=True,
+                         tolerance=2e-6, max_iterations=60,
+                         expansion="lowest-k")
+    assert bool(res.converged), np.asarray(res.residual_history)
+    np.testing.assert_allclose(np.asarray(res.eigenvalues, np.float64), w,
+                               rtol=3e-7, atol=3e-7)
+    # Residuals are TRUE residuals: verify against f64 on the returned
+    # vectors.
+    X64 = np.asarray(res.eigenvectors, np.float64)
+    lam64 = np.asarray(res.eigenvalues, np.float64)
+    R64 = A64 @ X64 - X64 * lam64[None, :]
+    err64 = np.linalg.norm(R64, axis=0) / np.maximum(
+        np.linalg.norm(X64, axis=0), 1e-30)
+    assert err64.max() < 4e-6
+    np.testing.assert_allclose(np.asarray(res.residual_norms, np.float64),
+                               err64, rtol=0.1, atol=1e-8)
+
+
+def test_polish_generalized(problem):
+    op, A64, w, V = problem
+    # Simple well-conditioned pencil: B = diag(1 + small variation).
+    rng = np.random.default_rng(0)
+    db = (1.0 + 0.1 * rng.random(N)).astype(np.float32)
+    B64 = scipy.sparse.diags(db.astype(np.float64))
+    wg, Vg = scipy.sparse.linalg.eigsh(A64, k=K, M=B64.tocsc(),
+                                       which="SA", tol=1e-12)
+    from fortran_davidson_tpu.ops.operators import DiagonalOperator
+    Bop = DiagonalOperator(jnp.asarray(db))
+    X32 = jnp.asarray(Vg.astype(np.float32))
+    res = refine.polish(op.offdiag(), op.diagonal(),
+                        jnp.asarray(wg.astype(np.float32)), X32,
+                        iterations=4, B_off=Bop.offdiag(),
+                        diag_b=Bop.diagonal())
+    x64 = (np.asarray(res.evecs_hi, np.float64)
+           + np.asarray(res.evecs_lo, np.float64))
+    lam = (np.sum(x64 * (A64 @ x64), axis=0)
+           / np.sum(x64 * (B64 @ x64), axis=0))
+    R = A64 @ x64 - (B64 @ x64) * lam[None, :]
+    err = np.linalg.norm(R, axis=0)
+    assert err.max() < 5e-9 * max(np.abs(lam).max(), 1.0)
+    np.testing.assert_allclose(lam, wg, rtol=1e-9, atol=1e-9)
