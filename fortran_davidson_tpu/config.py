@@ -25,8 +25,12 @@ class DavidsonOptions:
     """User-facing solver knobs.
 
     Attributes:
-      method: correction scheme, "DPR" or "GJD" (validated; the reference
-        silently misbehaves on unknown strings, ``src/davidson.f90:653-669``).
+      method: correction scheme, "DPR", "GJD", or "OLSEN" (validated; the
+        reference silently misbehaves on unknown strings,
+        ``src/davidson.f90:653-669``). OLSEN is DPR plus the skew
+        projection that keeps the correction orthogonal to the Ritz
+        vector — same cost class as DPR, immune to DPR's stagnation when
+        λ sits on a diagonal entry (beyond the reference).
       max_iterations: outer-iteration cap.
       tolerance: 2-norm residual tolerance per eigenpair.
       max_dim_sub: maximum subspace dimension before collapse
@@ -41,11 +45,16 @@ class DavidsonOptions:
         parity problems, bounded for large ones).
       gjd_inner_tol: relative residual tolerance of the inner GJD solve.
       gjd_preconditioner: "none" (reference semantics — the reference's
-        GJD has no preconditioning) or "dpr" (floored symmetric diagonal
+        GJD has no preconditioning), "dpr" (floored symmetric diagonal
         scaling of the correction equation; can cut inner MINRES
         iterations on strongly diagonal-dominant operators, but may slow
         outer convergence when Ritz values sit close to diagonal
-        entries — benchmark per problem).
+        entries — benchmark per problem), or "olsen" (the projected
+        Jacobi-Davidson preconditioner in warm-start form: the inner
+        MINRES runs on the exact unscaled projected operator but starts
+        from the Olsen correction and stops at the original absolute
+        target — measurably fewer inner iterations at unchanged outer
+        semantics).
       n_reorth: CGS passes when orthogonalizing new blocks (2 = CGS2).
       relative_tolerance: if True, pair j converges when
         ``||r_j|| < tolerance * max(|lambda_j|, 1)`` instead of the
@@ -70,6 +79,15 @@ class DavidsonOptions:
         two_prod/two_sum arithmetic (one extra off-diagonal operator
         application on the k wanted columns per iteration), and
         Rayleigh-refined reported eigenvalues. See ``core.refine``.
+      locking: freeze (deflate) converged eigenpairs out of the
+        correction/expansion block — their Ritz vectors stay in the
+        basis (so their eigenvalues keep being reported exactly), but no
+        new correction columns are spent on them. With k pairs of
+        spread-out difficulty this cuts the operator columns applied per
+        expansion (see ``DavidsonResult.operator_columns``). Off by
+        default: the reference corrects every pair every iteration
+        (``src/davidson.f90:199``), and iteration-count parity requires
+        that schedule.
     """
 
     method: str = "DPR"
@@ -87,6 +105,7 @@ class DavidsonOptions:
     expansion: str = "doubling"
     dtype: str = "float64"
     refined: bool = False
+    locking: bool = False
 
     def __post_init__(self):
         validate_method(self.method)
@@ -96,7 +115,7 @@ class DavidsonOptions:
         require(self.orthonormalization in ("cholqr2", "qr"),
                 InvalidOptionsError,
                 f"unknown orthonormalization {self.orthonormalization!r}")
-        require(self.gjd_preconditioner in ("none", "dpr"),
+        require(self.gjd_preconditioner in ("none", "dpr", "olsen"),
                 InvalidOptionsError,
                 f"unknown gjd_preconditioner {self.gjd_preconditioner!r}")
         require(self.expansion in ("doubling", "lowest-k"),
@@ -127,6 +146,7 @@ class ResolvedConfig:
     dtype: str
     generalized: bool
     refined: bool = False
+    locking: bool = False
 
 
 def merge_options(options: Optional[DavidsonOptions],
@@ -204,6 +224,7 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
         dtype=str(jnp.dtype(opts.dtype)),
         generalized=generalized,
         refined=bool(opts.refined),
+        locking=bool(opts.locking),
     )
 
 
@@ -226,6 +247,8 @@ class DavidsonResult:
     residual_norms: jnp.ndarray       # (k,)
     residual_history: jnp.ndarray     # (max_iterations, k); NaN after exit
     subspace_dims: jnp.ndarray        # (max_iterations,); 0 after exit
+    operator_columns: jnp.ndarray = None  # scalar int: live columns A was
+    #   applied to across the solve (the work metric locking reduces)
 
     def block_until_ready(self):
         self.eigenvalues.block_until_ready()
@@ -235,7 +258,7 @@ class DavidsonResult:
 def result_flatten(res: DavidsonResult):
     return (res.eigenvalues, res.eigenvectors, res.iterations, res.converged,
             res.converged_pairs, res.residual_norms, res.residual_history,
-            res.subspace_dims), None
+            res.subspace_dims, res.operator_columns), None
 
 
 def result_unflatten(aux, children):

@@ -32,7 +32,7 @@ from fortran_davidson_tpu.core.krylov import minres_block
 from fortran_davidson_tpu.utils.dtypes import safe_denominator
 from fortran_davidson_tpu.utils.errors import InvalidOptionsError
 
-METHODS = ("DPR", "GJD")
+METHODS = ("DPR", "GJD", "OLSEN")
 
 
 def validate_method(method: str) -> str:
@@ -58,6 +58,33 @@ def dpr_correction(R, lam, diag_a, diag_b, mask):
     return (R / den) * mask[None, :]
 
 
+def olsen_correction(R, lam, X, diag_a, diag_b, mask):
+    """Olsen correction (Olsen, Jørgensen & Simons 1990).
+
+    DPR's preconditioned residual ``K⁻¹r`` (K = diag(λB - A)) is NOT
+    orthogonal to the Ritz vector: when the eigenvector is dominated by a
+    coordinate whose diagonal sits at λ (exactly the diagonal-dominant
+    regime), ``K⁻¹r`` collapses onto x and Davidson stagnates. Olsen's
+    fix solves ``K t = -(r - μ x)`` with μ chosen so ``xᵀ t = 0``:
+
+        t = K⁻¹ r - μ K⁻¹ x,   μ = (xᵀ K⁻¹ r) / (xᵀ K⁻¹ x)
+
+    — one extra elementwise pass and two column dots over DPR. This is
+    also the single-step form of the projected (Jacobi-Davidson)
+    preconditioner: the same skew projection warm-starts the GJD inner
+    solve (``gjd_preconditioner="olsen"``). The reference has only plain
+    DPR (``src/davidson.f90:673-698``).
+    """
+    den = safe_denominator(lam[None, :] * diag_b[:, None] - diag_a[:, None])
+    kinv_r = R / den
+    kinv_x = X / den
+    num = jnp.sum(X * kinv_r, axis=0)
+    dnm = jnp.sum(X * kinv_x, axis=0)
+    mu = jnp.where(jnp.abs(dnm) > 0, num / jnp.where(dnm != 0, dnm, 1.0),
+                   0.0)
+    return (kinv_r - kinv_x * mu[None, :]) * mask[None, :]
+
+
 def _pseudo_projector(X):
     """Return T -> (I - x_j x_j^T) t_j applied column-wise as a block op."""
     def apply(T):
@@ -67,7 +94,8 @@ def _pseudo_projector(X):
 
 def gjd_correction(apply_a: Callable, apply_b: Optional[Callable], lam, X, R,
                    mask, inner_iters: int, inner_tol: float,
-                   diag_a=None, diag_b=None):
+                   diag_a=None, diag_b=None, olsen_start: bool = False,
+                   scale: bool = True, return_inner_iters: bool = False):
     """GJD correction via batched matrix-free MINRES.
 
     When the operator diagonals are supplied, the per-pair correction
@@ -104,10 +132,44 @@ def gjd_correction(apply_a: Callable, apply_b: Optional[Callable], lam, X, R,
 
     rhs = -(R * mask[None, :])
 
-    if diag_a is None:
-        t = minres_block(op, rhs, maxiter=inner_iters, rtol=inner_tol,
-                         col_active=mask)
-        return t * mask[None, :]
+    # Olsen warm start (projected preconditioner, single-step form): the
+    # inner Krylov solve starts from the Olsen correction and only has to
+    # resolve the remainder — solve op δ = rhs - op(t0), t = t0 + δ.
+    # t0 is already ⊥ x (Olsen's defining property), so the projected
+    # system's consistency is preserved. Measured: cuts inner MINRES
+    # iterations at matched tolerance on diagonal-dominant operators.
+    t0 = None
+    rhs_orig = rhs
+    if olsen_start and diag_a is not None:
+        # (A - λB) t = -r with K = diag(λB - A):  t ≈ K⁻¹ r (DPR), made
+        # ⊥ x the Olsen way. The inner solve then only resolves the
+        # remainder, stopped at the ORIGINAL system's absolute target
+        # (atol) — that is where the warm start turns into fewer
+        # iterations.
+        db0 = jnp.ones_like(diag_a) if diag_b is None else diag_b
+        t0 = proj(olsen_correction(R, lam, X, diag_a, db0, mask))
+        rhs = rhs - op(t0)
+
+    def finish(t, iters):
+        t = (t if t0 is None else t + t0) * mask[None, :]
+        if return_inner_iters:
+            return t, iters
+        return t
+
+    if diag_a is None or not scale:
+        # Unscaled MINRES on the exact projected operator (reference
+        # semantics). With a warm start, stop at the original system's
+        # absolute target — the Olsen guess removes the diagonal-dominant
+        # bulk of the solution, and the saved residual reduction converts
+        # directly into saved iterations (the dpr-SCALED path gets no
+        # such saving: its first scaled iteration already plays the role
+        # of the diagonal solve).
+        atol = (None if t0 is None
+                else inner_tol * jnp.linalg.norm(rhs_orig, axis=0))
+        t, iters = minres_block(op, rhs, maxiter=inner_iters,
+                                rtol=inner_tol, col_active=mask,
+                                return_iters=True, atol=atol)
+        return finish(t, iters)
 
     # The DPR denominator vanishes near the Ritz coordinate (lambda ~
     # A_ii), where unbounded scaling would amplify the operator's
@@ -121,6 +183,12 @@ def gjd_correction(apply_a: Callable, apply_b: Optional[Callable], lam, X, R,
     def op_scaled(T):
         return sc * op(sc * T)
 
-    y = minres_block(op_scaled, sc * rhs, maxiter=inner_iters,
-                     rtol=inner_tol, col_active=mask)
-    return (sc * y) * mask[None, :]
+    atol = None
+    if t0 is not None:
+        # Absolute target in the SCALED residual norm of the original
+        # system (what an unassisted solve would have stopped at).
+        atol = inner_tol * jnp.linalg.norm(sc * rhs_orig, axis=0)
+    y, iters = minres_block(op_scaled, sc * rhs, maxiter=inner_iters,
+                            rtol=inner_tol, col_active=mask,
+                            return_iters=True, atol=atol)
+    return finish(sc * y, iters)

@@ -34,7 +34,7 @@ def _safe_div(num, den):
 
 
 def minres_block(matvec: Callable, B, *, maxiter: int, rtol: float,
-                 col_active=None):
+                 col_active=None, return_iters: bool = False, atol=None):
     """Solve op(x_j) = b_j for every column j of B with batched MINRES.
 
     Args:
@@ -44,9 +44,18 @@ def minres_block(matvec: Callable, B, *, maxiter: int, rtol: float,
       maxiter: static cap on MINRES iterations.
       rtol: per-column relative residual tolerance (vs ||b_j||).
       col_active: optional (m,) float/bool mask; inactive columns return 0.
+      atol: optional per-column ABSOLUTE residual tolerance (scalar or
+        (m,)); stopping uses ``max(rtol * ||b_j||, atol_j)``. Warm-started
+        solves pass the original system's target here so a good initial
+        guess translates into fewer iterations instead of a needlessly
+        tighter solve.
+      return_iters: also return the number of inner iterations executed
+        (the batch runs until every column converges, so this is the max
+        over columns — the block operator-application count).
 
     Returns:
-      X: (n, m) approximate solutions (zero for inactive/zero columns).
+      X: (n, m) approximate solutions (zero for inactive/zero columns);
+      with ``return_iters``, the tuple ``(X, iters)``.
     """
     n, m = B.shape
     dt = B.dtype
@@ -70,6 +79,10 @@ def minres_block(matvec: Callable, B, *, maxiter: int, rtol: float,
     )
 
     tol_abs = rtol * beta1
+    if atol is not None:
+        tol_abs = jnp.maximum(tol_abs, jnp.broadcast_to(atol, (m,)))
+    # Columns whose rhs already meets the absolute target need no work.
+    init["active"] = init["active"] & (beta1 > tol_abs)
 
     def cond(st):
         return (st["it"] < maxiter) & jnp.any(st["active"])
@@ -130,4 +143,6 @@ def minres_block(matvec: Callable, B, *, maxiter: int, rtol: float,
         )
 
     final = jax.lax.while_loop(cond, body, init)
+    if return_iters:
+        return final["x"], final["it"]
     return final["x"]

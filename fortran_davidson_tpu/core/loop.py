@@ -68,6 +68,7 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
         errors=jnp.full((k,), jnp.inf, dt),
         history=jnp.full((cfg.max_iterations, k), jnp.nan, dt),
         dims=jnp.zeros((cfg.max_iterations,), jnp.int32),
+        op_cols=jnp.asarray(init_dim, jnp.int32),
     )
     if gen:
         state["BV"] = B.matmat(V0)
@@ -165,9 +166,11 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
 
         col_ok = st["col_ok"]
 
+        op_cols = st["op_cols"]
+
         def no_update(_):
-            out = ((V, AV, m, col_ok) if not gen
-                   else (V, AV, BV, m, col_ok))
+            out = ((V, AV, m, col_ok, op_cols) if not gen
+                   else (V, AV, BV, m, col_ok, op_cols))
             return out
 
         def expand(_):
@@ -180,16 +183,29 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             else:
                 corr_mask = pair_mask
                 grow = None  # doubling: m -> 2m
+            if cfg.locking:
+                # Deflation: converged pairs keep their Ritz vectors in
+                # the basis but stop spending correction columns. Their
+                # zeroed columns are dropped by the orthonormalization's
+                # norm filter, and the live-column accounting below keeps
+                # the basis a clean prefix.
+                unconv = jnp.ones((m_max,), bool).at[:k].set(~has_conv)
+                corr_mask = corr_mask * unconv.astype(dt)
             if cfg.method == "DPR":
                 corr = corr_mod.dpr_correction(R, w, diag_a, diag_b,
                                                corr_mask)
+            elif cfg.method == "OLSEN":
+                corr = corr_mod.olsen_correction(R, w, X, diag_a, diag_b,
+                                                 corr_mask)
             else:
-                precond = cfg.gjd_precond == "dpr"
+                precond = cfg.gjd_precond in ("dpr", "olsen")
                 corr = corr_mod.gjd_correction(
                     A.matmat, B.matmat if gen else None, w, X, R, corr_mask,
                     cfg.gjd_inner_iters, cfg.gjd_inner_tol,
                     diag_a=diag_a if precond else None,
-                    diag_b=diag_b if (precond and gen) else None)
+                    diag_b=diag_b if (precond and gen) else None,
+                    olsen_start=cfg.gjd_precond == "olsen",
+                    scale=cfg.gjd_precond == "dpr")
             Q, alive_q = orthogonal.orthonormalize_block(
                 V, corr, corr_mask, n_reorth=cfg.n_reorth, method=cfg.ortho,
                 precise=precise)
@@ -200,12 +216,21 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             V2 = V + jnp.roll(Q, m, axis=1)
             AV2 = AV + jnp.roll(AQ, m, axis=1)
             ok2 = col_ok + jnp.roll(alive_q, m)
-            m2 = m + grow if grow is not None else 2 * m
+            live = jnp.sum(alive_q).astype(jnp.int32)
+            if grow is not None:
+                # lowest-k: survivors are compacted to a prefix, so the
+                # basis stays hole-free by growing only by the live count
+                # (with locking this is k minus the deflated pairs).
+                m2 = m + live
+            else:
+                # doubling: the reference schedule's dimension bookkeeping
+                # (iteration-count parity depends on m, not on drops).
+                m2 = 2 * m
             if gen:
                 BQ = B.matmat(Q)
                 BV2 = BV + jnp.roll(BQ, m, axis=1)
-                return (V2, AV2, BV2, m2, ok2)
-            return (V2, AV2, m2, ok2)
+                return (V2, AV2, BV2, m2, ok2, op_cols + live)
+            return (V2, AV2, m2, ok2, op_cols + live)
 
         def collapse(_):
             # NOTE: recompute V@W2 / AV@W2 rather than slicing the Ritz
@@ -229,8 +254,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 BX2 = jnp.dot(BV, W2, preferred_element_type=dt)
                 BQc = orthogonal.right_tri_solve(BX2, Rc)
                 BVn = jnp.zeros_like(BV).at[:, :init_dim].set(BQc)
-                return (Vn, AVn, BVn, mn, okn)
-            return (Vn, AVn, mn, okn)
+                return (Vn, AVn, BVn, mn, okn, op_cols)
+            return (Vn, AVn, mn, okn, op_cols)
 
         def step(_):
             # Expansion iff current dim <= max_dim (``src/davidson.f90:195``).
@@ -238,16 +263,16 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
 
         new = jax.lax.cond(all_conv, no_update, step, None)
         if gen:
-            Vn, AVn, BVn, mn, okn = new
+            Vn, AVn, BVn, mn, okn, opc = new
         else:
-            Vn, AVn, mn, okn = new
+            Vn, AVn, mn, okn, opc = new
 
         out = dict(
             V=Vn, AV=AVn, m=mn, col_ok=okn, it=it + 1,
             chunk_end=st["chunk_end"],
             has_conv=has_conv, all_conv=all_conv,
             evals=w_report[:k], evecs=X[:, :k], errors=errors,
-            history=history, dims=dims,
+            history=history, dims=dims, op_cols=opc,
         )
         if gen:
             out["BV"] = BVn
@@ -268,6 +293,7 @@ def pack_result(final: dict) -> DavidsonResult:
         residual_norms=final["errors"],
         residual_history=final["history"],
         subspace_dims=final["dims"],
+        operator_columns=final["op_cols"],
     )
 
 

@@ -155,10 +155,12 @@ def bsr_spmm(block_cols, blocks, x, *, interpret: bool | None = None,
 
 
 _N_WINDOW_BUFFERS = 4  # ring depth: windows fetched 3 tiles ahead
+_N_OUT_BUFFERS = 3     # output write ring (VMEM -> HBM async copies)
 
 
-def _banded_kernel(blocks_ref, x_hbm, out_ref, xbuf, sem, *,
-                   K: int, bw: int, W: int, nbr: int):
+def _banded_kernel(blocks_ref, x_hbm, out_hbm, xbuf, sem, obuf, osem, *,
+                   K: int, bw: int, W: int, nbr: int, R: int,
+                   NB: int = _N_WINDOW_BUFFERS):
     """DIA-aligned banded-window kernel.
 
     Storage rule: slot k of row r holds the block for column r - bw + k
@@ -170,12 +172,19 @@ def _banded_kernel(blocks_ref, x_hbm, out_ref, xbuf, sem, *,
     Windows are prefetched depth-3 into a ring of VMEM buffers (scratch
     persists across the sequential TPU grid); measured on v5e the kernel
     is HBM-bound beyond that depth.
+
+    The output leaves through a manual VMEM ring of async VMEM->HBM
+    copies rather than the automatic out pipeline: on the measured v5e
+    the HBM write path sustains only ~1/5 of the read bandwidth, so
+    writes must overlap as deeply as possible with subsequent tiles'
+    reads+compute (probe: kernel time equals the pure-DMA copy time of
+    the same byte mix — the op runs at the platform's streaming light
+    speed).
     """
-    R = out_ref.shape[0]
     bs = blocks_ref.shape[1]
     tile = pl.program_id(0)
     ntiles = pl.num_programs(0)
-    NB = _N_WINDOW_BUFFERS
+    NBO = _N_OUT_BUFFERS
     D = NB - 1  # prefetch depth
     V = W - bw  # valid span (block rows) of an edge tile's window
 
@@ -227,7 +236,12 @@ def _banded_kernel(blocks_ref, x_hbm, out_ref, xbuf, sem, *,
         def _():
             interior(slot, t).wait()
 
+    def out_copy(oslot, t):
+        return pltpu.make_async_copy(
+            obuf.at[oslot], out_hbm.at[pl.ds(t * R, R)], osem.at[oslot])
+
     slot = tile % NB
+    oslot = tile % NBO
 
     @pl.when(tile == 0)
     def _():
@@ -240,13 +254,30 @@ def _banded_kernel(blocks_ref, x_hbm, out_ref, xbuf, sem, *,
     def _():
         start_window((tile + D) % NB, tile + D)
 
+    # Reclaim the output buffer whose write was started NBO tiles ago.
+    @pl.when(tile >= NBO)
+    def _():
+        out_copy(oslot, tile - NBO).wait()
+
     wait_window(slot, tile)
 
     for i in range(R):  # static unroll, static slices — every tile
-        out_ref[i] = jnp.dot(
+        obuf[oslot, i] = jnp.dot(
             blocks_ref[i], xbuf[slot, i * bs:(i + K) * bs, :],
             preferred_element_type=_acc_dtype(blocks_ref.dtype),
-        ).astype(out_ref.dtype)
+        ).astype(obuf.dtype)
+
+    out_copy(oslot, tile).start()
+
+    # Drain the outstanding writes on the final tile.
+    @pl.when(tile == ntiles - 1)
+    def _():
+        for d in range(min(NBO, ntiles)):
+            t_last = ntiles - 1 - d
+
+            @pl.when(t_last >= 0)
+            def _():
+                out_copy(t_last % NBO, t_last).wait()
 
 
 def banded_pallas_supported(nbr: int, K: int, bandwidth: int) -> bool:
@@ -256,6 +287,32 @@ def banded_pallas_supported(nbr: int, K: int, bandwidth: int) -> bool:
     R = _TILE_R
     return (K == 2 * bandwidth + 1 and bandwidth < R
             and nbr % R == 0 and nbr >= 2 * R)
+
+
+_VMEM_BUDGET = 14 * 2**20  # leave headroom below the ~16 MB/core VMEM
+
+
+def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
+                 x_item: int, b_item: int, out_item: int,
+                 min_tiles: int = 2):
+    """Pick (tile rows R, window-ring depth NB) under the VMEM budget.
+
+    Larger tiles amortize the 2*bw window-overlap traffic and give the
+    write ring bigger contiguous bursts (measured ~4% at R=16 vs R=8 on
+    v5e); deeper window rings hide DMA jitter. Preference order: big R,
+    deep NB.
+    """
+    for R in (16, 8):
+        if nbr % R or nbr < min_tiles * R or bw >= R:
+            continue
+        for NB in (4, 3, 2):
+            W = R + 2 * bw
+            vmem = (NB * W * bs * mp * x_item          # window ring
+                    + 2 * R * bs * K * bs * b_item     # block pipeline
+                    + _N_OUT_BUFFERS * R * bs * mp * out_item)  # out ring
+            if vmem <= _VMEM_BUDGET:
+                return R, NB, W
+    return None
 
 
 @functools.partial(jax.jit,
@@ -268,9 +325,10 @@ def banded_bsr_spmm(blocks, x, *, bandwidth: int,
     column ``r - bw + k``; out-of-range slots hold zero blocks — the
     layout :func:`~fortran_davidson_tpu.ops.sparse.generate_banded_bsr`
     emits), the K gathered slices per row are CONTIGUOUS rows of ``x`` at
-    a row-invariant offset — each 8-row tile needs ONE windowed DMA of
-    ``(8 + 2*bw) * bs`` rows instead of ``8 * K`` scattered slice
-    fetches, and the MXU loop is branch-free for every tile.
+    a row-invariant offset — each R-row tile needs ONE windowed DMA of
+    ``(R + 2*bw) * bs`` rows instead of ``R * K`` scattered slice
+    fetches, and the MXU loop is branch-free for every tile. Output
+    leaves through a manual write ring (see :func:`_banded_kernel`).
 
     Args:
       blocks: (nbr, bs, K*bs) row-major block layout, K = 2*bandwidth+1.
@@ -284,18 +342,26 @@ def banded_bsr_spmm(blocks, x, *, bandwidth: int,
     nbr, bs, kbs = blocks.shape
     K = kbs // bs
     bw = int(bandwidth)
-    R = _TILE_R
-    W = R + 2 * bw  # x-window size in block rows
     if not banded_pallas_supported(nbr, K, bw):
         raise ValueError(
-            f"banded_bsr_spmm needs K == 2*bw+1, bw < {R}, nbr % {R} == 0 "
-            f"and nbr >= {2 * R}; got nbr={nbr}, K={K}, bw={bw}")
+            f"banded_bsr_spmm needs K == 2*bw+1, bw < {_TILE_R}, "
+            f"nbr % {_TILE_R} == 0 and nbr >= {2 * _TILE_R}; "
+            f"got nbr={nbr}, K={K}, bw={bw}")
     n_in, m = x.shape
     mp = max(128, -(-m // 128) * 128)
     if mp != m:
         x = jnp.pad(x, ((0, 0), (0, mp - m)))
 
-    kernel = functools.partial(_banded_kernel, K=K, bw=bw, W=W, nbr=nbr)
+    plan = _banded_plan(nbr, bs, K, bw, mp, x.dtype.itemsize,
+                        blocks.dtype.itemsize, out_dtype.itemsize)
+    if plan is None:
+        raise ValueError(
+            f"banded_bsr_spmm: no (tile, ring) plan fits VMEM for "
+            f"bs={bs}, K={K}, m={mp} — reduce the block width m")
+    R, NB, W = plan
+
+    kernel = functools.partial(_banded_kernel, K=K, bw=bw, W=W, nbr=nbr,
+                               R=R, NB=NB)
     out = pl.pallas_call(
         kernel,
         grid=(nbr // R,),
@@ -304,14 +370,16 @@ def banded_bsr_spmm(blocks, x, *, bandwidth: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((R, bs, mp), lambda r: (r, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((_N_WINDOW_BUFFERS, W * bs, mp), x.dtype),
-            pltpu.SemaphoreType.DMA((_N_WINDOW_BUFFERS,)),
+            pltpu.VMEM((NB, W * bs, mp), x.dtype),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.VMEM((_N_OUT_BUFFERS, R, bs, mp), out_dtype),
+            pltpu.SemaphoreType.DMA((_N_OUT_BUFFERS,)),
         ],
         out_shape=jax.ShapeDtypeStruct((nbr, bs, mp), out_dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
             flops=2 * nbr * K * bs * bs * mp,
             bytes_accessed=(blocks.size * blocks.dtype.itemsize
@@ -324,17 +392,17 @@ def banded_bsr_spmm(blocks, x, *, bandwidth: int,
     return out[:, :m] if mp != m else out
 
 
-def _banded_ext_kernel(blocks_ref, x_hbm, out_ref, xbuf, sem, *,
-                       K: int, W: int):
+def _banded_ext_kernel(blocks_ref, x_hbm, out_hbm, xbuf, sem, obuf, osem,
+                       *, K: int, W: int, R: int,
+                       NB: int = _N_WINDOW_BUFFERS):
     """Pre-extended variant of :func:`_banded_kernel`: the input already
     carries ``bw*bs`` halo rows on each side (a shard's local slab after
     ring ppermute exchange), so EVERY tile's window [t*R*bs, (t*R+W)*bs)
-    is valid — no edge forms at all."""
-    R = out_ref.shape[0]
+    is valid — no edge forms at all. Same manual output write ring."""
     bs = blocks_ref.shape[1]
     tile = pl.program_id(0)
     ntiles = pl.num_programs(0)
-    NB = _N_WINDOW_BUFFERS
+    NBO = _N_OUT_BUFFERS
     D = NB - 1
 
     def window(slot, t):
@@ -342,7 +410,12 @@ def _banded_ext_kernel(blocks_ref, x_hbm, out_ref, xbuf, sem, *,
             x_hbm.at[pl.ds(t * R * bs, W * bs), :],
             xbuf.at[slot], sem.at[slot])
 
+    def out_copy(oslot, t):
+        return pltpu.make_async_copy(
+            obuf.at[oslot], out_hbm.at[pl.ds(t * R, R)], osem.at[oslot])
+
     slot = tile % NB
+    oslot = tile % NBO
 
     @pl.when(tile == 0)
     def _():
@@ -353,13 +426,28 @@ def _banded_ext_kernel(blocks_ref, x_hbm, out_ref, xbuf, sem, *,
     def _():
         window((tile + D) % NB, tile + D).start()
 
+    @pl.when(tile >= NBO)
+    def _():
+        out_copy(oslot, tile - NBO).wait()
+
     window(slot, tile).wait()
 
     for i in range(R):
-        out_ref[i] = jnp.dot(
+        obuf[oslot, i] = jnp.dot(
             blocks_ref[i], xbuf[slot, i * bs:(i + K) * bs, :],
             preferred_element_type=_acc_dtype(blocks_ref.dtype),
-        ).astype(out_ref.dtype)
+        ).astype(obuf.dtype)
+
+    out_copy(oslot, tile).start()
+
+    @pl.when(tile == ntiles - 1)
+    def _():
+        for d in range(min(NBO, ntiles)):
+            t_last = ntiles - 1 - d
+
+            @pl.when(t_last >= 0)
+            def _():
+                out_copy(t_last % NBO, t_last).wait()
 
 
 @functools.partial(jax.jit,
@@ -382,12 +470,10 @@ def banded_ext_bsr_spmm(blocks, x_ext, *, bandwidth: int,
     nbr, bs, kbs = blocks.shape
     K = kbs // bs
     bw = int(bandwidth)
-    R = _TILE_R
-    W = R + 2 * bw
-    if K != 2 * bw + 1 or nbr % R:
+    if K != 2 * bw + 1 or nbr % _TILE_R:
         raise ValueError(
-            f"banded_ext_bsr_spmm needs K == 2*bw+1 and nbr % {R} == 0; "
-            f"got nbr={nbr}, K={K}, bw={bw}")
+            f"banded_ext_bsr_spmm needs K == 2*bw+1 and nbr % {_TILE_R} "
+            f"== 0; got nbr={nbr}, K={K}, bw={bw}")
     n_ext, m = x_ext.shape
     if n_ext != (nbr + 2 * bw) * bs:
         raise ValueError(
@@ -396,7 +482,16 @@ def banded_ext_bsr_spmm(blocks, x_ext, *, bandwidth: int,
     if mp != m:
         x_ext = jnp.pad(x_ext, ((0, 0), (0, mp - m)))
 
-    kernel = functools.partial(_banded_ext_kernel, K=K, W=W)
+    plan = _banded_plan(nbr, bs, K, bw, mp, x_ext.dtype.itemsize,
+                        blocks.dtype.itemsize, out_dtype.itemsize,
+                        min_tiles=1)
+    if plan is None:
+        raise ValueError(
+            f"banded_ext_bsr_spmm: no (tile, ring) plan fits VMEM for "
+            f"bs={bs}, K={K}, m={mp} — reduce the block width m")
+    R, NB, W = plan
+
+    kernel = functools.partial(_banded_ext_kernel, K=K, W=W, R=R, NB=NB)
     out = pl.pallas_call(
         kernel,
         grid=(nbr // R,),
@@ -405,14 +500,16 @@ def banded_ext_bsr_spmm(blocks, x_ext, *, bandwidth: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((R, bs, mp), lambda r: (r, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((_N_WINDOW_BUFFERS, W * bs, mp), x_ext.dtype),
-            pltpu.SemaphoreType.DMA((_N_WINDOW_BUFFERS,)),
+            pltpu.VMEM((NB, W * bs, mp), x_ext.dtype),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.VMEM((_N_OUT_BUFFERS, R, bs, mp), out_dtype),
+            pltpu.SemaphoreType.DMA((_N_OUT_BUFFERS,)),
         ],
         out_shape=jax.ShapeDtypeStruct((nbr, bs, mp), out_dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
             flops=2 * nbr * K * bs * bs * mp,
             bytes_accessed=(blocks.size * blocks.dtype.itemsize
