@@ -22,7 +22,7 @@ from fortran_davidson_tpu.solver import (eigensolve,
                                          generalized_eigensolver,
                                          polish_eigenpairs)
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "BSROperator",

@@ -12,6 +12,8 @@ count, no re-applied operators.
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 import re
 from typing import Optional
@@ -23,9 +25,47 @@ from fortran_davidson_tpu.config import (DavidsonOptions, DavidsonResult,
 from fortran_davidson_tpu.core.loop import get_stepper, run_chunked
 from fortran_davidson_tpu.ops.operators import as_operator
 from fortran_davidson_tpu.utils.dtypes import canonical_dtype
-from fortran_davidson_tpu.utils.errors import OperatorError, require
+from fortran_davidson_tpu.utils.errors import (InvalidOptionsError,
+                                               OperatorError, require)
 
 _STEP_RE = re.compile(r"^step_(\d+)$")
+_CONFIG_FILE = "solver_config.json"
+
+
+def _config_fingerprint(cfg, n: int) -> dict:
+    fp = dataclasses.asdict(cfg)
+    fp["n"] = int(n)
+    return fp
+
+
+def write_config_fingerprint(directory: str, cfg, n: int) -> None:
+    os.makedirs(os.path.abspath(directory), exist_ok=True)
+    path = os.path.join(os.path.abspath(directory), _CONFIG_FILE)
+    with open(path, "w") as f:
+        json.dump(_config_fingerprint(cfg, n), f, indent=1, sort_keys=True)
+
+
+def check_config_fingerprint(directory: str, cfg, n: int) -> None:
+    """Raise a CLEAR error when resuming with a different configuration.
+
+    Checkpoint shapes are bound to the configuration (history buffers
+    sized by max_iterations, basis width by the subspace schedule);
+    without this check a mismatched resume surfaces as an opaque orbax
+    shape error at best — or silently wrong semantics (e.g. a different
+    tolerance) at worst.
+    """
+    path = os.path.join(os.path.abspath(directory), _CONFIG_FILE)
+    if not os.path.exists(path):
+        return  # pre-fingerprint checkpoint: fall through to orbax checks
+    with open(path) as f:
+        saved = json.load(f)
+    now = _config_fingerprint(cfg, n)
+    diffs = {key: (saved.get(key), now[key]) for key in now
+             if saved.get(key) != now[key]}
+    require(not diffs, InvalidOptionsError,
+            "checkpoint was written with a different solver configuration; "
+            "resume with the SAME options or point at a fresh directory. "
+            f"Mismatched (saved, requested): {diffs}")
 
 
 def _step_dirs(directory: str):
@@ -116,8 +156,10 @@ def eigensolve_checkpointed(matrix, lowest: int, directory: str,
     init, _ = get_stepper(cfg, constrain)
     state = None
     if resume and latest_step(directory) is not None:
+        check_config_fingerprint(directory, cfg, A.shape[0])
         template = jax.eval_shape(lambda: init(A, B))
         state = restore_state(directory, template)
+    write_config_fingerprint(directory, cfg, A.shape[0])
 
     def save_cb(st):
         save_state(directory, st)

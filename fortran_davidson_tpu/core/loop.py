@@ -131,10 +131,21 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         # computed from the caches (the reference free path does the same,
         # ``src/davidson.f90:401-410``; the dense path's per-column DGEMVs
         # at ``:163-170`` are equivalent in exact arithmetic).
-        X = jnp.dot(V, W, preferred_element_type=dt) * pair_mask[None, :]
-        AXW = jnp.dot(AV, W, preferred_element_type=dt)
-        BXW = jnp.dot(BV, W, preferred_element_type=dt) if gen else X
-        R = (AXW - BXW * w[None, :]) * pair_mask[None, :]
+        #
+        # Width: with the lowest-k expansion only the k wanted pairs ever
+        # feed corrections, convergence checks, or outputs — computing
+        # the Ritz products on k columns instead of m_max turns three
+        # full (n, m_max) memory streams into (n, k) ones (at the
+        # 10M-row north-star shape that is ~95% of their traffic). The
+        # doubling schedule corrects every active pair (reference
+        # semantics) and keeps the full width.
+        kk = k if cfg.expansion == "lowest-k" else m_max
+        Wk = W[:, :kk]
+        pmk = pair_mask[:kk]
+        X = jnp.dot(V, Wk, preferred_element_type=dt) * pmk[None, :]
+        AXW = jnp.dot(AV, Wk, preferred_element_type=dt)
+        BXW = jnp.dot(BV, Wk, preferred_element_type=dt) if gen else X
+        R = (AXW - BXW * w[:kk][None, :]) * pmk[None, :]
 
         if precise:
             # Refined path: TRUE residuals + Rayleigh-refined eigenvalues
@@ -174,34 +185,28 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             return out
 
         def expand(_):
-            if cfg.expansion == "lowest-k":
-                # Classic Davidson: expand by corrections for the k wanted
-                # pairs only (the reference doubles — corrections for every
-                # active pair, ``src/davidson.f90:199``).
-                corr_mask = pair_mask * (jnp.arange(m_max) < k).astype(dt)
-                grow = k
-            else:
-                corr_mask = pair_mask
-                grow = None  # doubling: m -> 2m
+            # The correction block has kk columns (k for lowest-k,
+            # m_max for doubling).
+            corr_mask = pmk
             if cfg.locking:
                 # Deflation: converged pairs keep their Ritz vectors in
                 # the basis but stop spending correction columns. Their
                 # zeroed columns are dropped by the orthonormalization's
                 # norm filter, and the live-column accounting below keeps
                 # the basis a clean prefix.
-                unconv = jnp.ones((m_max,), bool).at[:k].set(~has_conv)
+                unconv = jnp.ones((kk,), bool).at[:k].set(~has_conv)
                 corr_mask = corr_mask * unconv.astype(dt)
             if cfg.method == "DPR":
-                corr = corr_mod.dpr_correction(R, w, diag_a, diag_b,
+                corr = corr_mod.dpr_correction(R, w[:kk], diag_a, diag_b,
                                                corr_mask)
             elif cfg.method == "OLSEN":
-                corr = corr_mod.olsen_correction(R, w, X, diag_a, diag_b,
-                                                 corr_mask)
+                corr = corr_mod.olsen_correction(R, w[:kk], X, diag_a,
+                                                 diag_b, corr_mask)
             else:
                 precond = cfg.gjd_precond in ("dpr", "olsen")
                 corr = corr_mod.gjd_correction(
-                    A.matmat, B.matmat if gen else None, w, X, R, corr_mask,
-                    cfg.gjd_inner_iters, cfg.gjd_inner_tol,
+                    A.matmat, B.matmat if gen else None, w[:kk], X, R,
+                    corr_mask, cfg.gjd_inner_iters, cfg.gjd_inner_tol,
                     diag_a=diag_a if precond else None,
                     diag_b=diag_b if (precond and gen) else None,
                     olsen_start=cfg.gjd_precond == "olsen",
@@ -209,26 +214,35 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             Q, alive_q = orthogonal.orthonormalize_block(
                 V, corr, corr_mask, n_reorth=cfg.n_reorth, method=cfg.ortho,
                 precise=precise)
-            # New block columns occupy the prefix [0, m); shift them to
-            # [m, 2m) and add into the zero-padded region. 2m <= m_max is
-            # guaranteed by the doubling schedule (config.subspace_cap).
             AQ = A.matmat(Q)
-            V2 = V + jnp.roll(Q, m, axis=1)
-            AV2 = AV + jnp.roll(AQ, m, axis=1)
-            ok2 = col_ok + jnp.roll(alive_q, m)
             live = jnp.sum(alive_q).astype(jnp.int32)
-            if grow is not None:
-                # lowest-k: survivors are compacted to a prefix, so the
-                # basis stays hole-free by growing only by the live count
-                # (with locking this is k minus the deflated pairs).
+            if cfg.expansion == "lowest-k":
+                # Survivors occupy a prefix of the kk-column block; write
+                # them at column m in place (dynamic_update_slice aliases
+                # the while-carry — only k columns are written, vs a full
+                # (n, m_max) read-modify-write of the roll-add; writes
+                # are the scarce HBM resource on the measured v5e). The
+                # basis stays a hole-free prefix via the live count.
+                z0 = jnp.zeros((), m.dtype)
+                V2 = jax.lax.dynamic_update_slice(V, Q, (z0, m))
+                AV2 = jax.lax.dynamic_update_slice(AV, AQ, (z0, m))
+                ok2 = jax.lax.dynamic_update_slice(col_ok, alive_q, (m,))
                 m2 = m + live
             else:
-                # doubling: the reference schedule's dimension bookkeeping
-                # (iteration-count parity depends on m, not on drops).
+                # doubling: new columns shift to [m, 2m); the reference
+                # schedule's dimension bookkeeping (iteration-count
+                # parity depends on m, not on drops).
+                V2 = V + jnp.roll(Q, m, axis=1)
+                AV2 = AV + jnp.roll(AQ, m, axis=1)
+                ok2 = col_ok + jnp.roll(alive_q, m)
                 m2 = 2 * m
             if gen:
                 BQ = B.matmat(Q)
-                BV2 = BV + jnp.roll(BQ, m, axis=1)
+                if cfg.expansion == "lowest-k":
+                    BV2 = jax.lax.dynamic_update_slice(
+                        BV, BQ, (jnp.zeros((), m.dtype), m))
+                else:
+                    BV2 = BV + jnp.roll(BQ, m, axis=1)
                 return (V2, AV2, BV2, m2, ok2, op_cols + live)
             return (V2, AV2, m2, ok2, op_cols + live)
 

@@ -64,8 +64,55 @@ def load() -> Optional[ctypes.CDLL]:
                 np.ctypeslib.ndpointer(t, flags="C_CONTIGUOUS"), i64,
                 ctypes.c_void_p, ctypes.c_void_p,
             ]
+        try:
+            fn = lib.rcm_order
+            fn.restype = i64
+            fn.argtypes = [i64, i64, p_i64, p_i64, p_i64]
+        except AttributeError:
+            # Stale pre-RCM binary: rebuild once and rebind.
+            if _build() is not None:
+                lib = ctypes.CDLL(_LIB)
+                for suffix, t in (("f64", np.float64), ("f32", np.float32)):
+                    fn2 = getattr(lib, f"ell_from_coo_{suffix}")
+                    fn2.restype = i64
+                    fn2.argtypes = [
+                        i64, i64, p_i64, p_i64,
+                        np.ctypeslib.ndpointer(t, flags="C_CONTIGUOUS"),
+                        i64, ctypes.c_void_p, ctypes.c_void_p,
+                    ]
+                fn = lib.rcm_order
+                fn.restype = i64
+                fn.argtypes = [i64, i64, p_i64, p_i64, p_i64]
         _lib = lib
         return _lib
+
+
+def rcm_order(rows, cols, n: int):
+    """Reverse Cuthill-McKee ordering of the symmetrized COO pattern.
+
+    Returns the (n,) new-to-old permutation (``perm[i]`` = original index
+    of the node at new position ``i``). Native C++ when available;
+    falls back to ``scipy.sparse.csgraph.reverse_cuthill_mckee`` (an
+    equivalent-quality, not bit-identical, ordering), else None.
+    """
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    lib = load()
+    if lib is not None and hasattr(lib, "rcm_order"):
+        perm = np.empty(n, np.int64)
+        rc = lib.rcm_order(n, len(rows), rows, cols, perm)
+        if rc < 0:
+            raise ValueError("COO indices out of range")
+        return perm
+    try:
+        import scipy.sparse
+        import scipy.sparse.csgraph as csg
+    except ImportError:
+        return None
+    pattern = scipy.sparse.coo_matrix(
+        (np.ones(len(rows), np.int8), (rows, cols)), shape=(n, n)).tocsr()
+    return np.asarray(csg.reverse_cuthill_mckee(pattern, symmetric_mode=True),
+                      np.int64)
 
 
 def ell_from_coo(rows, cols, vals, n: int, pad_width: Optional[int] = None):

@@ -63,9 +63,86 @@ int64_t ell_from_coo(int64_t n, int64_t nnz, const int64_t* rows,
   return maxcount;
 }
 
+// Reverse Cuthill-McKee ordering on the symmetrized COO pattern.
+// perm_out[i] = original index of the node placed at new position i.
+// Classic bandwidth-reducing reordering: BFS from a minimum-degree seed
+// per component, neighbors visited in ascending degree, order reversed.
+int64_t rcm_order_impl(int64_t n, int64_t nnz, const int64_t* rows,
+                       const int64_t* cols, int64_t* perm_out) {
+  // Build symmetric adjacency in CSR (self loops dropped, duplicates
+  // tolerated — duplicates only cost a little BFS work).
+  std::vector<int64_t> deg(n, 0);
+  for (int64_t i = 0; i < nnz; ++i) {
+    const int64_t r = rows[i], c = cols[i];
+    if (r < 0 || r >= n || c < 0 || c >= n) return -1;
+    if (r == c) continue;
+    ++deg[r];
+    ++deg[c];
+  }
+  std::vector<int64_t> ptr(n + 1, 0);
+  for (int64_t v = 0; v < n; ++v) ptr[v + 1] = ptr[v] + deg[v];
+  std::vector<int64_t> adj(ptr[n]);
+  std::vector<int64_t> fill(ptr.begin(), ptr.end() - 1);
+  for (int64_t i = 0; i < nnz; ++i) {
+    const int64_t r = rows[i], c = cols[i];
+    if (r == c) continue;
+    adj[fill[r]++] = c;
+    adj[fill[c]++] = r;
+  }
+
+  std::vector<char> seen(n, 0);
+  std::vector<int64_t> order;
+  order.reserve(n);
+  std::vector<int64_t> queue;
+  queue.reserve(n);
+
+  // Seeds in ascending degree: cheap pseudo-peripheral heuristic.
+  std::vector<int64_t> seeds(n);
+  std::iota(seeds.begin(), seeds.end(), 0);
+  std::sort(seeds.begin(), seeds.end(), [&](int64_t a, int64_t b) {
+    if (deg[a] != deg[b]) return deg[a] < deg[b];
+    return a < b;
+  });
+
+  std::vector<int64_t> nbrs;
+  for (int64_t s : seeds) {
+    if (seen[s]) continue;
+    seen[s] = 1;
+    queue.clear();
+    queue.push_back(s);
+    for (size_t qi = 0; qi < queue.size(); ++qi) {
+      const int64_t v = queue[qi];
+      order.push_back(v);
+      nbrs.clear();
+      for (int64_t p = ptr[v]; p < ptr[v + 1]; ++p) {
+        const int64_t u = adj[p];
+        if (!seen[u]) {
+          seen[u] = 1;
+          nbrs.push_back(u);
+        }
+      }
+      std::sort(nbrs.begin(), nbrs.end(), [&](int64_t a, int64_t b) {
+        if (deg[a] != deg[b]) return deg[a] < deg[b];
+        return a < b;
+      });
+      for (int64_t u : nbrs) queue.push_back(u);
+    }
+  }
+  std::reverse(order.begin(), order.end());
+  std::copy(order.begin(), order.end(), perm_out);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Reverse Cuthill-McKee: fills perm_out (length n) with the new-to-old
+// node order; returns 0, or -1 on out-of-range indices.
+int64_t rcm_order(int64_t n, int64_t nnz, const int64_t* rows,
+                  const int64_t* cols, int64_t* perm_out) {
+  return rcm_order_impl(n, nnz, rows, cols, perm_out);
+}
 
 // Returns the max number of unique columns in any row (the required ELL
 // width), or -1 on out-of-range indices. With L == 0 only counts; with

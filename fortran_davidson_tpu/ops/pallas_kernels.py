@@ -520,3 +520,228 @@ def banded_ext_bsr_spmm(blocks, x_ext, *, bandwidth: int,
     )(blocks, x_ext)
     out = out.reshape(nbr * bs, mp)
     return out[:, :m] if mp != m else out
+
+
+def _banded_remote_kernel(blocks_ref, x_hbm, out_hbm, xbuf, sem, obuf,
+                          osem, comm, send_sem, recv_sem, *, K: int,
+                          bw: int, W: int, R: int, NB: int, ndev: int,
+                          axis_name: str, use_barrier: bool = True):
+    """Banded SpMM with the ring halo exchange INSIDE the kernel.
+
+    Pod-scale variant of :func:`_banded_ext_kernel`: instead of an
+    XLA-level ``ppermute`` producing a pre-extended input, the kernel
+    itself pushes its boundary slabs to the ring neighbors with
+    ``make_async_remote_copy`` (ICI RDMA) during the prologue, so the
+    neighbor transfer overlaps every interior tile's DMA+MXU work and
+    only the two edge tiles wait on arrival. A neighbor barrier at the
+    kernel tail keeps successive invocations from racing the comm
+    buffers.
+
+    ``comm`` slots: [0] = predecessor's bottom slab (this shard's top
+    halo), [1] = successor's top slab (bottom halo). Ring wrap-around
+    data is mathematically inert: the out-of-range band slots hold zero
+    blocks (finite garbage x zero = zero).
+    """
+    bs = blocks_ref.shape[1]
+    tile = pl.program_id(0)
+    ntiles = pl.num_programs(0)
+    NBO = _N_OUT_BUFFERS
+    D = NB - 1
+    nbr_l = ntiles * R
+    me = jax.lax.axis_index(axis_name)
+    nd = jnp.asarray(ndev, me.dtype)
+    right = jax.lax.rem(me + 1, nd)
+    left = jax.lax.rem(me - 1 + nd, nd)
+
+    def send_bottom():
+        return pltpu.make_async_remote_copy(
+            x_hbm.at[pl.ds((nbr_l - bw) * bs, bw * bs), :], comm.at[0],
+            send_sem.at[0], recv_sem.at[0], device_id=right,
+            device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+    def send_top():
+        return pltpu.make_async_remote_copy(
+            x_hbm.at[pl.ds(0, bw * bs), :], comm.at[1],
+            send_sem.at[1], recv_sem.at[1], device_id=left,
+            device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+    V = W - bw  # local span of an edge tile's window
+
+    def edge_top(slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(0, V * bs), :],
+            xbuf.at[slot, pl.ds(bw * bs, V * bs), :], sem.at[slot])
+
+    def edge_bottom(slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds((nbr_l - V) * bs, V * bs), :],
+            xbuf.at[slot, pl.ds(0, V * bs), :], sem.at[slot])
+
+    def interior(slot, t):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds((t * R - bw) * bs, W * bs), :],
+            xbuf.at[slot], sem.at[slot])
+
+    def window_start(slot, t):
+        @pl.when(t == 0)
+        def _():
+            edge_top(slot).start()
+
+        @pl.when(t == ntiles - 1)
+        def _():
+            edge_bottom(slot).start()
+
+        @pl.when((t > 0) & (t < ntiles - 1))
+        def _():
+            interior(slot, t).start()
+
+    def window_wait(slot, t):
+        @pl.when(t == 0)
+        def _():
+            edge_top(slot).wait()
+
+        @pl.when(t == ntiles - 1)
+        def _():
+            edge_bottom(slot).wait()
+
+        @pl.when((t > 0) & (t < ntiles - 1))
+        def _():
+            interior(slot, t).wait()
+
+    def out_copy(oslot, t):
+        return pltpu.make_async_copy(
+            obuf.at[oslot], out_hbm.at[pl.ds(t * R, R)], osem.at[oslot])
+
+    slot = tile % NB
+    oslot = tile % NBO
+
+    @pl.when(tile == 0)
+    def _():
+        send_bottom().start()
+        send_top().start()
+        for d in range(min(D, ntiles)):
+            window_start(d % NB, d)
+
+    @pl.when(tile + D < ntiles)
+    def _():
+        window_start((tile + D) % NB, tile + D)
+
+    @pl.when(tile >= NBO)
+    def _():
+        out_copy(oslot, tile - NBO).wait()
+
+    window_wait(slot, tile)
+
+    # Edge tiles splice the remote halo into the window (tiny VMEM move).
+    @pl.when(tile == 0)
+    def _():
+        send_bottom().wait_recv()
+        xbuf[slot, 0:bw * bs, :] = comm[0]
+
+    @pl.when(tile == ntiles - 1)
+    def _():
+        send_top().wait_recv()
+        xbuf[slot, W * bs - bw * bs:, :] = comm[1]
+
+    for i in range(R):
+        obuf[oslot, i] = jnp.dot(
+            blocks_ref[i], xbuf[slot, i * bs:(i + K) * bs, :],
+            preferred_element_type=_acc_dtype(blocks_ref.dtype),
+        ).astype(obuf.dtype)
+
+    out_copy(oslot, tile).start()
+
+    @pl.when(tile == ntiles - 1)
+    def _():
+        # Our outgoing RDMAs must have left before the buffers (and the
+        # next invocation's x) can change.
+        send_bottom().wait_send()
+        send_top().wait_send()
+        for d in range(min(NBO, ntiles)):
+            t_last = ntiles - 1 - d
+
+            @pl.when(t_last >= 0)
+            def _():
+                out_copy(t_last % NBO, t_last).wait()
+        # Neighbor barrier: both neighbors have consumed this round's
+        # comm data before anyone's next round may overwrite it.
+        # (get_barrier_semaphore is unsupported by the interpreter,
+        # which serializes invocations anyway.)
+        if use_barrier:
+            bar = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(
+                bar, inc=1, device_id=left,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_signal(
+                bar, inc=1, device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_wait(bar, 2)
+
+
+def banded_remote_halo_spmm(blocks, x_local, *, bandwidth: int, ndev: int,
+                            axis_name: str, interpret: bool | None = None,
+                            out_dtype=None, collective_id: int = 7):
+    """Shard-local banded SpMM with kernel-internal ring halo RDMA.
+
+    Call under ``jax.shard_map`` over a 1-D ``axis_name`` ring of
+    ``ndev`` devices; ``blocks``/``x_local`` are the shard-local tables
+    (DIA-aligned like :func:`banded_bsr_spmm`, with GLOBAL out-of-range
+    slots zero). See :func:`_banded_remote_kernel` for the exchange.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out_dtype = jnp.dtype(x_local.dtype if out_dtype is None else out_dtype)
+    nbr_l, bs, kbs = blocks.shape
+    K = kbs // bs
+    bw = int(bandwidth)
+    if K != 2 * bw + 1 or nbr_l % _TILE_R or nbr_l < 2 * _TILE_R:
+        raise ValueError(
+            f"banded_remote_halo_spmm needs K == 2*bw+1, nbr_l % "
+            f"{_TILE_R} == 0 and nbr_l >= {2 * _TILE_R} (at least two "
+            f"tiles per shard); got nbr_l={nbr_l}, K={K}, bw={bw}")
+    n_l, m = x_local.shape
+    mp = max(128, -(-m // 128) * 128)
+    if mp != m:
+        x_local = jnp.pad(x_local, ((0, 0), (0, mp - m)))
+    plan = _banded_plan(nbr_l, bs, K, bw, mp, x_local.dtype.itemsize,
+                        blocks.dtype.itemsize, out_dtype.itemsize,
+                        min_tiles=2)
+    if plan is None:
+        raise ValueError("banded_remote_halo_spmm: no plan fits VMEM")
+    R, NB, W = plan
+    kernel = functools.partial(_banded_remote_kernel, K=K, bw=bw, W=W,
+                               R=R, NB=NB, ndev=ndev, axis_name=axis_name,
+                               use_barrier=not interpret)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nbr_l // R,),
+        in_specs=[
+            pl.BlockSpec((R, bs, K * bs), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((NB, W * bs, mp), x_local.dtype),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.VMEM((_N_OUT_BUFFERS, R, bs, mp), out_dtype),
+            pltpu.SemaphoreType.DMA((_N_OUT_BUFFERS,)),
+            pltpu.VMEM((2, bw * bs, mp), x_local.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((nbr_l, bs, mp), out_dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=collective_id),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbr_l * K * bs * bs * mp,
+            bytes_accessed=(blocks.size * blocks.dtype.itemsize
+                            + (nbr_l // R) * W * bs * mp
+                            * x_local.dtype.itemsize
+                            + nbr_l * bs * mp * out_dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(blocks, x_local)
+    out = out.reshape(nbr_l * bs, mp)
+    return out[:, :m] if mp != m else out

@@ -526,11 +526,17 @@ class HybridBandedOperator(LinearOperator):
     Build with :func:`split_band_remainder`.
     """
 
-    def __init__(self, band: BSROperator, remainder: Optional[ELLOperator]):
+    def __init__(self, band: BSROperator, remainder: Optional[ELLOperator],
+                 perm=None):
         require(remainder is None or band.shape == remainder.shape,
                 OperatorError, "band/remainder shapes differ")
         self.band = band
         self.remainder = remainder
+        # Optional row/column reordering (e.g. RCM): the operator
+        # represents P A Pᵀ; perm[i] = original index at new position i.
+        # Solve in the reordered space, then map vectors back with
+        # :meth:`unpermute`.
+        self.perm = None if perm is None else jnp.asarray(perm, jnp.int32)
 
     @property
     def shape(self):
@@ -570,19 +576,30 @@ class HybridBandedOperator(LinearOperator):
 
     def offdiag(self) -> "HybridBandedOperator":
         rem = None if self.remainder is None else self.remainder.offdiag()
-        return HybridBandedOperator(self.band.offdiag(), rem)
+        return HybridBandedOperator(self.band.offdiag(), rem,
+                                    perm=self.perm)
 
     def with_backend(self, backend: str) -> "HybridBandedOperator":
         return HybridBandedOperator(self.band.with_backend(backend),
-                                    self.remainder)
+                                    self.remainder, perm=self.perm)
+
+    def unpermute(self, X):
+        """Map vectors from the operator's (reordered, padded) row space
+        back to the ORIGINAL ordering: returns ``(len(perm), ...)`` rows
+        (reordering pads are dropped). No-op view when unordered."""
+        if self.perm is None:
+            return X
+        n_orig = self.perm.shape[0]
+        out_shape = (n_orig,) + X.shape[1:]
+        return jnp.zeros(out_shape, X.dtype).at[self.perm].set(X[:n_orig])
 
     def tree_flatten(self):
-        return (self.band, self.remainder), None
+        return (self.band, self.remainder, self.perm), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        obj.band, obj.remainder = children
+        obj.band, obj.remainder, obj.perm = children
         return obj
 
 
@@ -590,7 +607,8 @@ def split_band_remainder(rows, cols, vals, n: int, *, block_size: int = 128,
                          bandwidth: int = 1, dtype=jnp.float64,
                          backend: str = "xla", chunk: int = 8,
                          pad_diag: Optional[float] = None,
-                         block_rows_multiple: int = 1
+                         block_rows_multiple: int = 1,
+                         reorder: Optional[str] = None
                          ) -> HybridBandedOperator:
     """Split COO triplets into a DIA banded BSR part plus an ELL remainder.
 
@@ -611,6 +629,13 @@ def split_band_remainder(rows, cols, vals, n: int, *, block_size: int = 128,
     ``block_rows_multiple``: additionally pad so the number of BLOCK rows
     is a multiple of this — row-sharding over an N-device mesh needs the
     block rows divisible by N (pass ``block_rows_multiple=N``).
+
+    ``reorder="rcm"``: apply a reverse Cuthill-McKee bandwidth-reducing
+    permutation first (native C++, scipy fallback) — scattered patterns
+    whose graph is narrow capture far more mass in the fast banded part.
+    The returned operator represents ``P A Pᵀ``; map eigenvectors back
+    with :meth:`HybridBandedOperator.unpermute` (the solved eigenVALUES
+    are permutation-invariant).
     """
     bs = block_size
     bw = bandwidth
@@ -618,6 +643,18 @@ def split_band_remainder(rows, cols, vals, n: int, *, block_size: int = 128,
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals, np.dtype(jnp.dtype(dtype).name))
+    perm = None
+    if reorder is not None:
+        require(reorder == "rcm", OperatorError,
+                f"unknown reorder {reorder!r} (supported: 'rcm')")
+        from fortran_davidson_tpu import native
+        perm = native.rcm_order(rows, cols, n)
+        require(perm is not None, OperatorError,
+                "rcm reordering needs the native component or scipy")
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+        rows = inv[rows]
+        cols = inv[cols]
     quantum = bs * max(int(block_rows_multiple), 1)
     n_pad = -(-n // quantum) * quantum
     nbr = n_pad // bs
@@ -657,7 +694,7 @@ def split_band_remainder(rows, cols, vals, n: int, *, block_size: int = 128,
                                          dtype=dtype, chunk=chunk)
     else:
         remainder = None
-    return HybridBandedOperator(band, remainder)
+    return HybridBandedOperator(band, remainder, perm=perm)
 
 
 def generate_local_sparse(n: int, nnz_per_row: int, locality: float = 200.0,

@@ -61,7 +61,7 @@ class HaloBSROperator(LinearOperator):
                 row_sharding(mesh, 2, axis))
             blocks = jax.device_put(jnp.asarray(blocks),
                                     row_sharding(mesh, 3, axis))
-        require(backend in ("xla", "pallas"), OperatorError,
+        require(backend in ("xla", "pallas", "pallas-remote"), OperatorError,
                 f"unknown halo backend {backend!r}")
         self.block_cols = block_cols
         self.blocks = blocks
@@ -106,8 +106,22 @@ class HaloBSROperator(LinearOperator):
         # storage means row r of the halo-extended local window always
         # contracts at offset r — the windowed-DMA kernel applies
         # unchanged per shard.
-        use_pallas = (self.backend == "pallas" and K == 2 * bw + 1
-                      and nbr_l % 8 == 0)
+        use_pallas = (self.backend in ("pallas", "pallas-remote")
+                      and K == 2 * bw + 1 and nbr_l % 8 == 0
+                      and (self.backend != "pallas-remote"
+                           or nbr_l >= 16))  # remote: >= 2 tiles/shard
+
+        def local_spmm_remote(blks, x):
+            # Kernel-internal ring RDMA: no XLA-level ppermute at all —
+            # the Pallas kernel pushes boundary slabs to the neighbors
+            # itself, overlapped with the interior tiles' work.
+            from fortran_davidson_tpu.ops.pallas_kernels import \
+                banded_remote_halo_spmm
+            compute = (blks.dtype if jnp.dtype(blks.dtype).itemsize
+                       < jnp.dtype(x.dtype).itemsize else x.dtype)
+            return banded_remote_halo_spmm(
+                blks.astype(compute), x.astype(compute), bandwidth=bw,
+                ndev=ndev, axis_name=axis, out_dtype=x.dtype)
 
         def local_spmm_pallas(blks, x):
             from fortran_davidson_tpu.ops.pallas_kernels import \
@@ -159,10 +173,12 @@ class HaloBSROperator(LinearOperator):
 
         spec2 = P(axis, None)
         if use_pallas:
+            fn = (local_spmm_remote if self.backend == "pallas-remote"
+                  else local_spmm_pallas)
             # check_vma=False: pallas_call outputs carry no varying-mesh
             # annotation yet.
             return jax.shard_map(
-                local_spmm_pallas, mesh=self.mesh,
+                fn, mesh=self.mesh,
                 in_specs=(P(axis, None, None), spec2),
                 out_specs=spec2, check_vma=False,
             )(self.blocks, block)

@@ -111,7 +111,7 @@ def shard_operator(op: LinearOperator, mesh: Mesh,
         band = shard_operator(op.band, mesh, axis)
         rem = (None if op.remainder is None
                else shard_operator(op.remainder, mesh, axis))
-        return HybridBandedOperator(band, rem)
+        return HybridBandedOperator(band, rem, perm=op.perm)
     if isinstance(op, BSROperator):
         return BSROperator(put(op.block_cols), put(op.blocks),
                            backend=op.backend, bandwidth=op.bandwidth)
