@@ -123,9 +123,27 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             jnp.sum(mask).astype(jnp.int32), m_max, dt)
 
         # Rayleigh-Ritz on the active block (masked padded eigh).
-        H = subspace.project(V, AV, precise=precise)
-        S = subspace.project(V, BV, precise=precise) if gen else None
-        w, W = subspace.ritz_decomposition(H, S, mask)
+        if precise and not gen:
+            # DS-measured projected matrix + beyond-f32-eigh Ritz
+            # refinement for the k wanted pairs: the f32 eigh floors the
+            # attainable residual at ~eps*||H|| (measured ~4e-6 at
+            # ||H||~60); first-order perturbation against the DS
+            # projected residual — of the SAME penalized matrix the eigh
+            # diagonalized — removes that floor at O(m²k) cost.
+            from fortran_davidson_tpu.core import refine as _refine
+            from fortran_davidson_tpu.utils.ds import (DS, gram_ds,
+                                                       two_sum)
+            H_ds = gram_ds(V, AV)
+            H = H_ds.hi + H_ds.lo
+            pen = jnp.diag(subspace._pad_penalties(H, mask))
+            w, W = jnp.linalg.eigh(H + pen)
+            ph, pl = two_sum(H_ds.hi, pen)
+            W = W.at[:, :k].set(_refine.refine_ritz(
+                DS(ph, pl + H_ds.lo), w, W, k))
+        else:
+            H = subspace.project(V, AV, precise=precise)
+            S = subspace.project(V, BV, precise=precise) if gen else None
+            w, W = subspace.ritz_decomposition(H, S, mask)
 
         # Ritz vectors and block residuals R = (AV)W - (BV)W diag(w),
         # computed from the caches (the reference free path does the same,
@@ -149,17 +167,24 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
 
         if precise:
             # Refined path: TRUE residuals + Rayleigh-refined eigenvalues
-            # for the k wanted pairs — the cache-based R above still
-            # drives corrections (it shapes the subspace; its ~eps*||A||
-            # noise is projected out by CGS2), but convergence decisions
-            # and reported values use the compensated measurement, which
-            # resolves residuals far below the f32 accumulation floor.
+            # for the k wanted pairs. The compensated residual ALSO
+            # replaces the cache-based one in the correction pipeline:
+            # the cache R carries ~sqrt(n)*eps*λ accumulation noise,
+            # which at scale exceeds the true residual long before the
+            # tolerance is met — corrections computed from it are noise,
+            # get annihilated by CGS2, and the iteration stalls
+            # (measured: stuck at ~4e-6 at n=65k while the true residual
+            # target needs 2e-6). The refined R carries signal down to
+            # ~eps² and keeps the subspace improving to the f32-storage
+            # limit.
             from fortran_davidson_tpu.core import refine
             ref = refine.refined_pairs(
                 A_off, diag_a, X[:, :k],
                 B_off=B_off, diag_b=diag_b if gen else None)
             errors = ref.errors.astype(dt)
             w_report = jnp.concatenate([ref.evals.astype(dt), w[k:]])
+            R = R.at[:, :k].set(ref.residual.astype(dt)
+                                * pair_mask[:k][None, :])
         else:
             errors = jnp.linalg.norm(R[:, :k], axis=0)
             w_report = w

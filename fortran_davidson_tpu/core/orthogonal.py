@@ -29,9 +29,20 @@ def col_mask(m, m_max: int, dtype):
     return (jnp.arange(m_max) < m).astype(dtype)
 
 
-def project_out(V, block):
-    """Remove the component of ``block`` lying in span(V's nonzero columns)."""
-    coeffs = jnp.dot(V.T, block, preferred_element_type=block.dtype)
+def project_out(V, block, precise: bool = False):
+    """Remove the component of ``block`` lying in span(V's nonzero columns).
+
+    ``precise``: compensated coefficients (V^T block) — the naive f32 dot
+    carries ~sqrt(n)*eps relative noise, which caps how small a genuine
+    new direction the projection can leave standing (the refined path's
+    corrections live exactly in that regime).
+    """
+    if precise:
+        from fortran_davidson_tpu.utils.ds import gram_ds
+        g = gram_ds(V, block)
+        coeffs = g.hi + g.lo
+    else:
+        coeffs = jnp.dot(V.T, block, preferred_element_type=block.dtype)
     return block - jnp.dot(V, coeffs, preferred_element_type=block.dtype)
 
 
@@ -70,13 +81,17 @@ def orthonormalize_block(V, block, mask, n_reorth: int = 2,
     block = block * mask[None, :]
     norms_before = jnp.linalg.norm(block, axis=0)
     for _ in range(n_reorth):
-        block = project_out(V, block)
+        block = project_out(V, block, precise=precise)
     # Drop columns that lost (nearly) all their mass to the projection —
     # whatever survives is dominated by roundoff of the subtraction, not
     # by a new search direction (see module note above). sqrt(eps) is the
-    # classic selective-reorthogonalization threshold.
+    # classic selective-reorthogonalization threshold; with compensated
+    # projection coefficients (precise) the survivor floor set by the
+    # remaining f32 V@coeffs matmul is ~sqrt(m)*eps, so genuinely small
+    # new directions down to ~256*eps are signal, not noise.
     norms_after = jnp.linalg.norm(block, axis=0)
-    drop_tol = jnp.sqrt(jnp.finfo(dt).eps)
+    eps = jnp.finfo(dt).eps
+    drop_tol = 256.0 * eps if precise else jnp.sqrt(eps)
     alive = (norms_after > drop_tol * jnp.maximum(
         norms_before, jnp.finfo(dt).tiny)) & mask.astype(bool)
     block = block * alive[None, :].astype(dt)

@@ -71,7 +71,7 @@ def _diag_quad_form(d, X, Y=None, extra_lo=None) -> DS:
     lo = eq + e * Y
     if extra_lo is not None:
         lo = lo + extra_lo
-    return dsm.ds_sum_tree(q, axis=0, lo=lo)
+    return dsm.tall_sum_ds(q, lo=lo)
 
 
 def _assemble_residual(AoffX, shift: DS, lam: DS, BoffX=None) -> DS:
@@ -99,6 +99,45 @@ def _ds_col_norms(R: DS):
     # Guard tiny negative roundoff before the sqrt.
     return dsm.ds_sqrt(DS(jnp.maximum(sq.hi, 0.0),
                           jnp.where(sq.hi > 0, sq.lo, 0.0))).to_float()
+
+
+def refine_ritz(H_ds: DS, w, W, k: int):
+    """First-order refinement of the k wanted eigenvectors of the
+    projected matrix, beyond f32-eigh accuracy.
+
+    The f32 ``eigh`` of H delivers eigenvectors with ~eps*||H||/gap
+    error; rotated into the big space that floors the attainable
+    residual at ~eps*||H|| (measured: ~4e-6 at ||H||~60 — above 1e-6
+    tolerances). With H held as a DS pair, the small residual
+    ``r_j = H y_j - θ_j y_j`` is computable to ~eps² (the cancellation
+    is exact), and standard first-order perturbation in the eigenbasis,
+
+        y_j ← y_j + Σ_{i≠j} (u_iᵀ r_j)/(θ_j - θ_i) u_i,
+
+    recovers the square of the accuracy at O(m²k) cost. Padded-block
+    eigenpairs participate harmlessly (huge |θ_j - θ_i| denominators).
+    """
+    m = H_ds.hi.shape[0]
+    Wk = W[:, :k]
+    # DS evaluation of H @ Wk - Wk * θ (m x k, all small).
+    p, e = dsm.two_prod(H_ds.hi[:, :, None], Wk[None, :, :])  # (m, m, k)
+    hy = dsm.ds_sum_tree(p.transpose(1, 0, 2), axis=0,
+                         lo=e.transpose(1, 0, 2))
+    hy = dsm.ds_add(hy, dsm.ds(jnp.einsum(
+        "ij,jk->ik", H_ds.lo, Wk, preferred_element_type=H_ds.lo.dtype)))
+    tp, te = dsm.two_prod(Wk, w[None, :k])
+    r = dsm.ds_sub(hy, DS(tp, te))
+    r_f = r.hi + r.lo  # (m, k) — true residual magnitudes, well above eps²
+    c = jnp.dot(W.T, r_f, preferred_element_type=r_f.dtype)  # (m, k)
+    denom = w[:k][None, :] - w[:, None]  # (m, k): θ_j - θ_i
+    gap_floor = 16.0 * jnp.finfo(r_f.dtype).eps * (
+        jnp.abs(w[:k])[None, :] + 1.0)
+    safe = jnp.where(jnp.abs(denom) < gap_floor, jnp.inf, denom)
+    coef = c / safe
+    # Zero the self-term (and exact-degenerate partners via the floor).
+    eye_k = (jnp.arange(m)[:, None] == jnp.arange(k)[None, :])
+    coef = jnp.where(eye_k, 0.0, coef)
+    return Wk + jnp.dot(W, coef, preferred_element_type=W.dtype)
 
 
 class RefinedPairs(NamedTuple):

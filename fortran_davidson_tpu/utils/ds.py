@@ -160,6 +160,58 @@ def ds_sum_tree(x, axis: int = 0, lo=None) -> DS:
     return DS(*fast_two_sum(hi[0], lo[0]))
 
 
+def tall_sum_ds(x, lo=None) -> DS:
+    """Exact-compensated column sums of a TALL (n, m) array pair.
+
+    Same math as :func:`ds_sum_tree` over axis 0, restructured for TPU
+    layout: arrays with a narrow minor dimension (m << 128) are
+    lane-padded ~128/m-fold in memory, so a tree walking (n, m) arrays
+    pays that bloat at every level (measured 570 ms for (10M, 4) — vs
+    ~12 ms for a full Gram). Here the pair is reshaped to a full-lane
+    ``(n/g, g*m)`` layout (g = 128/m strata interleaved), the two_sum
+    tree runs on compact rows, and the g strata per column are folded
+    with an exact sequential cascade at the end. Bit-for-bit it is a
+    different (still error-free) summation order — accuracy class is
+    identical (~eps² relative).
+    """
+    x = jnp.asarray(x)
+    lo = jnp.zeros_like(x) if lo is None else jnp.asarray(lo)
+    n, m = x.shape
+    mp = 1
+    while mp < m:
+        mp *= 2
+    if mp <= 128:
+        g = 128 // mp
+        if mp != m:
+            x = jnp.pad(x, ((0, 0), (0, mp - m)))
+            lo = jnp.pad(lo, ((0, 0), (0, mp - m)))
+        if n % g:
+            pad = g - n % g
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+            lo = jnp.pad(lo, ((0, pad), (0, 0)))
+            n = n + pad
+        hi2 = x.reshape(n // g, g * mp)
+        lo2 = lo.reshape(n // g, g * mp)
+        while hi2.shape[0] > 1:
+            kk = hi2.shape[0]
+            half = (kk + 1) // 2
+            if half * 2 - kk:
+                hi2 = jnp.concatenate([hi2, jnp.zeros_like(hi2[:1])])
+                lo2 = jnp.concatenate([lo2, jnp.zeros_like(lo2[:1])])
+            s, e = two_sum(hi2[0::2], hi2[1::2])
+            hi2 = s
+            lo2 = lo2[0::2] + lo2[1::2] + e
+        s = hi2[0].reshape(g, mp)
+        e = lo2[0].reshape(g, mp)
+        hi_acc, lo_acc = s[0], e[0]
+        for i in range(1, g):  # exact cascade over the strata (g <= 128)
+            hi_acc, err = two_sum(hi_acc, s[i])
+            lo_acc = lo_acc + e[i] + err
+        out = DS(*fast_two_sum(hi_acc, lo_acc))
+        return DS(out.hi[:m], out.lo[:m])
+    return ds_sum_tree(x, axis=0, lo=lo)
+
+
 def _chunk(n: int, chunk: Optional[int]) -> int:
     if chunk is None:
         chunk = 4096
@@ -217,7 +269,7 @@ def dot_cols_ds(X, Y) -> DS:
     VPU; use on (n, k) column blocks, not wide bases.
     """
     p, e = two_prod(X, Y)
-    return ds_sum_tree(p, axis=0, lo=e)
+    return tall_sum_ds(p, lo=e)
 
 
 # -- compensated elementwise kernels used by the solver -------------------

@@ -88,27 +88,33 @@ def test_polish_reaches_sub_f32_residuals(problem):
 
 
 def test_refined_solve_beats_f32_floor(problem):
-    """eigensolve(refined=True) at f32 converges to tolerances the naive
-    f32 path cannot even measure (n=65k naive floor ~ sqrt(n)*eps*λ ~
-    1e-5); eigenvalues match the f64 oracle."""
+    """eigensolve(refined=True) at f32 converges to ABSOLUTE tolerances
+    in the reference's real64 regime (1e-8 — four orders below the naive
+    f32 measurement floor sqrt(n)*eps*λ ~ 1e-5 at n=65k): compensated
+    residual measurement feeds the corrections, and the DS Ritz
+    refinement removes the f32-eigh floor (~eps*||H||)."""
     import fortran_davidson_tpu as fdt
     op, A64, w, V = problem
     res = fdt.eigensolve(op, K, dtype="float32", refined=True,
-                         tolerance=2e-6, max_iterations=60,
+                         tolerance=1e-8, max_iterations=60,
                          expansion="lowest-k")
     assert bool(res.converged), np.asarray(res.residual_history)
     np.testing.assert_allclose(np.asarray(res.eigenvalues, np.float64), w,
                                rtol=3e-7, atol=3e-7)
     # Residuals are TRUE residuals: verify against f64 on the returned
-    # vectors.
+    # vectors at their OPTIMAL (f64 Rayleigh) eigenvalue — the reported
+    # f32 eigenvalue's own representation rounding (~3e-8*λ) would
+    # otherwise dominate the verification.
     X64 = np.asarray(res.eigenvectors, np.float64)
-    lam64 = np.asarray(res.eigenvalues, np.float64)
+    nrm2 = np.sum(X64 * X64, axis=0)
+    lam64 = np.sum(X64 * (A64 @ X64), axis=0) / nrm2
     R64 = A64 @ X64 - X64 * lam64[None, :]
-    err64 = np.linalg.norm(R64, axis=0) / np.maximum(
-        np.linalg.norm(X64, axis=0), 1e-30)
-    assert err64.max() < 4e-6
+    err64 = np.linalg.norm(R64, axis=0) / np.sqrt(nrm2)
+    assert err64.max() < 1e-8
+    # The reported measurement never under-reports by more than its own
+    # ~eps*|E x| elementwise-rounding floor.
     np.testing.assert_allclose(np.asarray(res.residual_norms, np.float64),
-                               err64, rtol=0.1, atol=1e-8)
+                               err64, rtol=0.5, atol=3e-9)
 
 
 def test_polish_generalized(problem):
