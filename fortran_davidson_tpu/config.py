@@ -54,7 +54,12 @@ class DavidsonOptions:
         MINRES runs on the exact unscaled projected operator but starts
         from the Olsen correction and stops at the original absolute
         target — measurably fewer inner iterations at unchanged outer
-        semantics).
+        semantics). At scale precondition: with a bounded inner budget
+        on an ill-conditioned operator (condition ~ n for the diag ~ 1..n
+        surrogates), unpreconditioned inner MINRES cannot reduce the
+        correction residual and the outer loop stalls (measured at 1M
+        rows f32 on TPU: "none" stalls at 40 iterations while "dpr"
+        converges in 2 and "olsen" in 3 at ~15 ms/iter).
       n_reorth: CGS passes when orthogonalizing new blocks (2 = CGS2).
       relative_tolerance: if True, pair j converges when
         ``||r_j|| < tolerance * max(|lambda_j|, 1)`` instead of the
@@ -79,6 +84,18 @@ class DavidsonOptions:
         two_prod/two_sum arithmetic (one extra off-diagonal operator
         application on the k wanted columns per iteration), and
         Rayleigh-refined reported eigenvalues. See ``core.refine``.
+      matmul_precision: XLA matmul precision for the whole solver trace
+        (``jax.default_matmul_precision``). ``None`` (default) resolves
+        to ``"float32"`` for float32 solves and leaves the platform
+        default otherwise. TPU's default bf16 operand demotion is
+        mathematically poisonous for an eigensolver: the projected
+        matrix, Ritz products, residuals, and the GJD inner Krylov all
+        inherit 8-bit-mantissa noise (measured: the GJD Olsen warm start
+        at 1M rows f32 diverges under the platform default and converges
+        in a handful of iterations at f32 precision). The solver is
+        HBM-bound at the tall-skinny shapes that dominate, so the extra
+        MXU passes are ~free. Set ``"bfloat16"`` explicitly to trade
+        accuracy for MXU throughput.
       locking: freeze (deflate) converged eigenpairs out of the
         correction/expansion block — their Ritz vectors stay in the
         basis (so their eigenvalues keep being reported exactly), but no
@@ -106,6 +123,7 @@ class DavidsonOptions:
     dtype: str = "float64"
     refined: bool = False
     locking: bool = False
+    matmul_precision: Optional[str] = None
 
     def __post_init__(self):
         validate_method(self.method)
@@ -121,6 +139,11 @@ class DavidsonOptions:
         require(self.expansion in ("doubling", "lowest-k"),
                 InvalidOptionsError,
                 f"unknown expansion {self.expansion!r}")
+        require(self.matmul_precision in (None, "bfloat16", "bfloat16_3x",
+                                          "tensorfloat32", "float32",
+                                          "highest"),
+                InvalidOptionsError,
+                f"unknown matmul_precision {self.matmul_precision!r}")
         jnp.dtype(self.dtype)  # raises on nonsense
 
 
@@ -147,6 +170,9 @@ class ResolvedConfig:
     generalized: bool
     refined: bool = False
     locking: bool = False
+    # None = leave the platform default (f64 solves are never demoted);
+    # f32 solves resolve to "float32" unless the user overrode it.
+    matmul_precision: Optional[str] = None
 
 
 def merge_options(options: Optional[DavidsonOptions],
@@ -225,6 +251,11 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
         generalized=generalized,
         refined=bool(opts.refined),
         locking=bool(opts.locking),
+        matmul_precision=(opts.matmul_precision if opts.matmul_precision
+                          is not None else
+                          ("float32"
+                           if jnp.dtype(opts.dtype) == jnp.float32
+                           else None)),
     )
 
 

@@ -119,7 +119,27 @@ def gjd_correction(apply_a: Callable, apply_b: Optional[Callable], lam, X, R,
       inner_tol: relative residual tolerance of the inner solve.
       diag_a / diag_b: operator diagonals enabling the DPR scaling
         (``diag_b`` None means B = I for the scaling).
+
+    The correction solve always runs under f32 matmul precision: TPU's
+    default bf16 operand demotion corrupts the MINRES three-term
+    recurrence (the inner Krylov is the most demotion-sensitive piece of
+    the solver). NOTE this local pin is a guard for standalone use only —
+    it is NOT sufficient for the full solve: the Gram/Ritz/residual
+    matmuls in the outer loop are equally poisoned (measured: GJD+Olsen
+    at 1M rows f32 diverges unless the WHOLE loop is pinned; see
+    ``core.loop._precision_ctx`` / ``DavidsonOptions.matmul_precision``).
+    CPU/f64 paths are unaffected (the context is a TPU-matmul knob), so
+    reference parity pins are untouched.
     """
+    with jax.default_matmul_precision("float32"):
+        return _gjd_correction_impl(
+            apply_a, apply_b, lam, X, R, mask, inner_iters, inner_tol,
+            diag_a, diag_b, olsen_start, scale, return_inner_iters)
+
+
+def _gjd_correction_impl(apply_a, apply_b, lam, X, R, mask, inner_iters,
+                         inner_tol, diag_a, diag_b, olsen_start, scale,
+                         return_inner_iters):
     proj = _pseudo_projector(X)
 
     def shifted(T):
@@ -148,7 +168,19 @@ def gjd_correction(apply_a: Callable, apply_b: Optional[Callable], lam, X, R,
         # iterations.
         db0 = jnp.ones_like(diag_a) if diag_b is None else diag_b
         t0 = proj(olsen_correction(R, lam, X, diag_a, db0, mask))
-        rhs = rhs - op(t0)
+        # Overshoot guard: near a λ == diag collision the floored K makes
+        # t0 huge, and at working precision the remainder rhs - op(t0)
+        # then carries catastrophic cancellation noise that the inner
+        # solve faithfully turns into junk corrections (measured
+        # divergence at 1M rows f32). Columns whose op(t0) dwarfs the rhs
+        # are scaled back toward a cold start — graceful degradation.
+        opt0 = op(t0)
+        nr = jnp.linalg.norm(rhs, axis=0)
+        no = jnp.linalg.norm(opt0, axis=0)
+        s = jnp.where(no > 2.0 * nr,
+                      2.0 * nr / jnp.where(no > 0, no, 1.0), 1.0)
+        t0 = t0 * s[None, :]
+        rhs = rhs - opt0 * s[None, :]
 
     def finish(t, iters):
         t = (t if t0 is None else t + t0) * mask[None, :]

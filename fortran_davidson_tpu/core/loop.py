@@ -23,6 +23,7 @@ TPU-native redesign of the reference's allocating Fortran loop
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
@@ -32,6 +33,23 @@ from fortran_davidson_tpu.config import DavidsonResult, ResolvedConfig
 from fortran_davidson_tpu.core import correction as corr_mod
 from fortran_davidson_tpu.core import orthogonal, subspace
 from fortran_davidson_tpu.ops.operators import LinearOperator
+
+
+def _precision_ctx(cfg: ResolvedConfig):
+    """Matmul-precision context for everything traced inside the solver.
+
+    TPU demotes f32 matmul operands to bf16 by default; for an
+    eigensolver that injects 8-bit-mantissa noise into the projected
+    matrix, Ritz products, residuals, and the GJD inner Krylov (measured:
+    GJD+Olsen at 1M rows f32 diverges under the platform default,
+    converges at f32 precision). The tall-skinny matmuls that dominate
+    are HBM-bound, so the extra MXU passes cost ~nothing. A no-op on
+    CPU/f64 — parity pins are unaffected. See
+    ``DavidsonOptions.matmul_precision``.
+    """
+    if cfg.matmul_precision is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(cfg.matmul_precision)
 
 
 def init_state(cfg: ResolvedConfig, A: LinearOperator,
@@ -53,7 +71,9 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
     diag_a = A.diagonal().astype(dt)
 
     V0 = subspace.initial_subspace(diag_a, init_dim, m_max)
-    AV0 = A.matmat(V0)
+    with _precision_ctx(cfg):
+        AV0 = A.matmat(V0)
+        BV0 = B.matmat(V0) if gen else None
     state = dict(
         V=V0,
         AV=AV0,
@@ -71,7 +91,7 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
         op_cols=jnp.asarray(init_dim, jnp.int32),
     )
     if gen:
-        state["BV"] = B.matmat(V0)
+        state["BV"] = BV0
     if constrain is not None:
         state = constrain(state)
     return state
@@ -319,7 +339,11 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             out = constrain(out)
         return out
 
-    return jax.lax.while_loop(cond, body, state)
+    # The context must be live while cond/body TRACE — i.e. around the
+    # while_loop call itself (everything the solver computes per
+    # iteration traces in here).
+    with _precision_ctx(cfg):
+        return jax.lax.while_loop(cond, body, state)
 
 
 def pack_result(final: dict) -> DavidsonResult:

@@ -271,6 +271,47 @@ class TestGJDPreconditioner:
             fdt.DavidsonOptions(gjd_preconditioner="wat")
 
 
+class TestMatmulPrecision:
+    """The solver pins XLA matmul precision for f32 solves (TPU's default
+    bf16 operand demotion poisons the Gram/Ritz/residual matmuls and the
+    GJD inner Krylov — measured divergence at 1M rows). A no-op on CPU,
+    but resolution and plumbing are testable everywhere."""
+
+    def test_resolution_defaults(self):
+        from fortran_davidson_tpu.config import (DavidsonOptions,
+                                                 resolve_options)
+        f32 = resolve_options(DavidsonOptions(dtype="float32"), 3, 100,
+                              False)
+        f64 = resolve_options(DavidsonOptions(), 3, 100, False)
+        over = resolve_options(
+            DavidsonOptions(dtype="float32", matmul_precision="bfloat16"),
+            3, 100, False)
+        assert f32.matmul_precision == "float32"
+        assert f64.matmul_precision is None
+        assert over.matmul_precision == "bfloat16"
+
+    def test_invalid_precision_raises(self):
+        import pytest as _pytest
+        from fortran_davidson_tpu.config import DavidsonOptions
+        from fortran_davidson_tpu.utils.errors import InvalidOptionsError
+        with _pytest.raises(InvalidOptionsError):
+            DavidsonOptions(matmul_precision="quad")
+
+    def test_solve_under_explicit_precision(self):
+        # End-to-end through the engine with the context active (CPU: the
+        # context parses and traces; numerics are unchanged).
+        import fortran_davidson_tpu as fdt
+        from fortran_davidson_tpu.models.generators import \
+            generate_diagonal_dominant
+        A = generate_diagonal_dominant(60, 1e-3)
+        base = fdt.eigensolve(A, 3, tolerance=1e-8)
+        pinned = fdt.eigensolve(A, 3, tolerance=1e-8,
+                                matmul_precision="highest")
+        assert bool(pinned.converged)
+        np.testing.assert_allclose(np.asarray(pinned.eigenvalues),
+                                   np.asarray(base.eigenvalues), atol=1e-10)
+
+
 class TestLowestKExpansion:
     def test_smaller_padded_width(self):
         from fortran_davidson_tpu.config import (DavidsonOptions,
