@@ -191,6 +191,7 @@ def bench_bsr_spmm():
         op32 = base
         results["pallas_error"] = str(e)[:200]
         results["f32"] = timed(op32, x)
+    op16 = qop = None
     if on_tpu:
         try:
             op16 = type(op32)(op32.block_cols,
@@ -200,6 +201,14 @@ def bench_bsr_spmm():
             results["bf16"] = timed(op16, x.astype(jnp.bfloat16))
         except Exception as e:
             results["bf16_error"] = str(e)[:200]
+        try:
+            # int8 off-diagonal storage + exact f32 diagonal (opt-in
+            # quantized operator): halves the block stream vs bf16.
+            from fortran_davidson_tpu.ops.sparse import quantize_banded_int8
+            qop = quantize_banded_int8(base).with_backend("pallas")
+            results["int8"] = timed(qop, x.astype(jnp.bfloat16))
+        except Exception as e:
+            results["int8_error"] = str(e)[:200]
 
     variant, t_best = min(
         ((k, v) for k, v in results.items() if isinstance(v, float)),
@@ -208,30 +217,39 @@ def bench_bsr_spmm():
 
     # Minimum traffic at the winning precision: stream the blocks once,
     # read x once per window (incl. the 2*bw tile-overlap), write the
-    # output once.
-    item = 2 if variant == "bf16" else 4
+    # output once. int8 carries f32 scale rows + diagonal alongside the
+    # 1-byte blocks.
+    b_item = {"bf16": 2, "int8": 1}.get(variant, 4)
+    xo_item = {"bf16": 2, "int8": 2}.get(variant, 4)
     K = 2 * bw + 1
-    plan = _banded_plan(nbr, bs, K, bw, max(m, 128), item, item, item)
+    plan = _banded_plan(nbr, bs, K, bw, max(m, 128), xo_item,
+                        b_item, xo_item)
     R, NB, W = plan if plan is not None else (8, 4, 8 + 2 * bw)
-    bytes_min = (nnz * item                       # blocks
-                 + (nbr // R) * W * bs * m * item  # x windows
-                 + n * m * item)                  # output
+    aux_bytes = (nbr * K * bs * 4 + nbr * bs * 4) if variant == "int8" \
+        else 0
+    bytes_min = (nnz * b_item + aux_bytes           # blocks (+scales/diag)
+                 + (nbr // R) * W * bs * m * xo_item  # x windows
+                 + n * m * xo_item)                 # output
     roofline_t = bytes_min / (_device_hbm_gbps() * 1e9)
 
     # MEASURED copy roofline: the same byte pattern with no compute.
     # This is the honest per-chip light speed — on the measured v5e the
     # HBM write path sustains far below nominal (~1/5 of reads), so the
     # nominal-bandwidth roofline is unattainable by ANY kernel that
-    # writes its output.
+    # writes its output. For the int8 variant the copy streams the int8
+    # block table (the ~3% scale/diagonal side stream is not mirrored —
+    # the copy baseline is slightly optimistic, never flattering).
     t_copy = None
-    if on_tpu and variant == "bf16":
+    if on_tpu and variant in ("bf16", "int8"):
         try:
-            bdt = jnp.bfloat16
+            bdt = jnp.int8 if variant == "int8" else jnp.bfloat16
+            blocks_src = qop.qblocks if variant == "int8" else op16.blocks
+            xdt = jnp.bfloat16
             copy_fn = _copy_roofline_kernel(bs, K, W, R, NB, max(m, 128),
-                                            bdt, bdt, bdt, nbr)
+                                            bdt, xdt, xdt, nbr)
             copy_chain = jax.jit(lambda b, y: jax.lax.fori_loop(
                 0, _CHAIN, lambda _, yy: copy_fn(b, yy), y))
-            t_copy = timed_fn(copy_chain, op16.blocks,
+            t_copy = timed_fn(copy_chain, blocks_src,
                               x.astype(jnp.bfloat16))
         except Exception as e:
             results["copy_error"] = str(e)[:200]

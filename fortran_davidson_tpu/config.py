@@ -84,6 +84,15 @@ class DavidsonOptions:
         two_prod/two_sum arithmetic (one extra off-diagonal operator
         application on the k wanted columns per iteration), and
         Rayleigh-refined reported eigenvalues. See ``core.refine``.
+      cheb_degree: degree of the Chebyshev filter applied to the restart
+        block at every subspace collapse (0 = off, the reference
+        schedule ``src/davidson.f90:218``; >= 2 enables ChASE-style
+        filtered restarts, ``core.chebyshev``). Each collapse then costs
+        ``degree + 1`` extra block operator applications (on ``init_dim``
+        columns) and damps the unwanted spectral components
+        exponentially in the degree — worth it for large k or slowly
+        converging spectra where collapses discard hard-won information.
+        Standard problems only (the filter is a polynomial in A alone).
       matmul_precision: XLA matmul precision for the whole solver trace
         (``jax.default_matmul_precision``). ``None`` (default) resolves
         to ``"float32"`` for float32 solves and leaves the platform
@@ -124,6 +133,7 @@ class DavidsonOptions:
     refined: bool = False
     locking: bool = False
     matmul_precision: Optional[str] = None
+    cheb_degree: int = 0
 
     def __post_init__(self):
         validate_method(self.method)
@@ -144,6 +154,8 @@ class DavidsonOptions:
                                           "highest"),
                 InvalidOptionsError,
                 f"unknown matmul_precision {self.matmul_precision!r}")
+        require(self.cheb_degree >= 0, InvalidOptionsError,
+                "cheb_degree must be >= 0")
         jnp.dtype(self.dtype)  # raises on nonsense
 
 
@@ -173,6 +185,7 @@ class ResolvedConfig:
     # None = leave the platform default (f64 solves are never demoted);
     # f32 solves resolve to "float32" unless the user overrode it.
     matmul_precision: Optional[str] = None
+    cheb_degree: int = 0
 
 
 def merge_options(options: Optional[DavidsonOptions],
@@ -207,6 +220,10 @@ def subspace_cap(init_dim: int, max_dim: int, step: Optional[int] = None) -> int
 def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
                     generalized: bool) -> ResolvedConfig:
     require(1 <= lowest, InvalidOptionsError, "lowest must be >= 1")
+    require(not (opts.cheb_degree >= 2 and generalized),
+            InvalidOptionsError,
+            "Chebyshev-filtered restarts (cheb_degree >= 2) require a "
+            "standard problem: the filter is a polynomial in A alone")
     require(lowest <= n, InvalidOptionsError,
             f"lowest={lowest} exceeds matrix dimension {n}")
     init_dim = opts.init_dim if opts.init_dim is not None else 2 * lowest
@@ -256,6 +273,7 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
                           ("float32"
                            if jnp.dtype(opts.dtype) == jnp.float32
                            else None)),
+        cheb_degree=int(opts.cheb_degree),
     )
 
 

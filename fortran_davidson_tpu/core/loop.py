@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from fortran_davidson_tpu.config import DavidsonResult, ResolvedConfig
+from fortran_davidson_tpu.core import chebyshev
 from fortran_davidson_tpu.core import correction as corr_mod
 from fortran_davidson_tpu.core import orthogonal, subspace
 from fortran_davidson_tpu.ops.operators import LinearOperator
@@ -74,6 +75,8 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
     with _precision_ctx(cfg):
         AV0 = A.matmat(V0)
         BV0 = B.matmat(V0) if gen else None
+        spec_ub = (chebyshev.lanczos_upper_bound(A.matmat, n, dt)
+                   if cfg.cheb_degree >= 2 else None)
     state = dict(
         V=V0,
         AV=AV0,
@@ -92,6 +95,8 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
     )
     if gen:
         state["BV"] = BV0
+    if spec_ub is not None:
+        state["spec_ub"] = spec_ub
     if constrain is not None:
         state = constrain(state)
     return state
@@ -301,20 +306,42 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             # iterations; headroom wins.
             W2 = W[:, :init_dim]
             X2 = jnp.dot(V, W2, preferred_element_type=dt)
-            AX2 = jnp.dot(AV, W2, preferred_element_type=dt)
-            Qc, Rc = orthogonal.thin_qr_collapse(X2, method=cfg.ortho,
-                                                 precise=precise)
-            AQc = orthogonal.right_tri_solve(AX2, Rc)
+            if cfg.cheb_degree >= 2 and not gen:
+                # ChASE-style filtered restart: damp the components of
+                # the restart block lying in [first unwanted Ritz value,
+                # spectral upper bound]. The filtered block leaves the
+                # polynomial span of the cached AV, so its A-image is
+                # recomputed fresh (degree + 1 extra block applications
+                # per collapse; collapses are 1-in-log iterations).
+                a = w[init_dim]
+                b = jnp.maximum(st["spec_ub"].astype(dt),
+                                a + jnp.asarray(1e-3, dt)
+                                * (jnp.abs(a) + 1.0))
+                lo = jnp.minimum(w[0], a - jnp.asarray(1e-6, dt)
+                                 * (jnp.abs(a) + 1.0))
+                X2 = chebyshev.chebyshev_filter(
+                    A.matmat, X2, cfg.cheb_degree, a, b, lo)
+                Qc, Rc = orthogonal.thin_qr_collapse(X2, method=cfg.ortho,
+                                                     precise=precise)
+                AQc = A.matmat(Qc)
+            else:
+                AX2 = jnp.dot(AV, W2, preferred_element_type=dt)
+                Qc, Rc = orthogonal.thin_qr_collapse(X2, method=cfg.ortho,
+                                                     precise=precise)
+                AQc = orthogonal.right_tri_solve(AX2, Rc)
             Vn = jnp.zeros_like(V).at[:, :init_dim].set(Qc)
             AVn = jnp.zeros_like(AV).at[:, :init_dim].set(AQc)
             mn = jnp.asarray(init_dim, jnp.int32)
             okn = (jnp.arange(m_max) < init_dim).astype(dt)
+            opc = op_cols
+            if cfg.cheb_degree >= 2 and not gen:
+                opc = opc + (cfg.cheb_degree + 1) * init_dim
             if gen:
                 BX2 = jnp.dot(BV, W2, preferred_element_type=dt)
                 BQc = orthogonal.right_tri_solve(BX2, Rc)
                 BVn = jnp.zeros_like(BV).at[:, :init_dim].set(BQc)
-                return (Vn, AVn, BVn, mn, okn, op_cols)
-            return (Vn, AVn, mn, okn, op_cols)
+                return (Vn, AVn, BVn, mn, okn, opc)
+            return (Vn, AVn, mn, okn, opc)
 
         def step(_):
             # Expansion iff current dim <= max_dim (``src/davidson.f90:195``).
@@ -335,6 +362,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         )
         if gen:
             out["BV"] = BVn
+        if "spec_ub" in st:
+            out["spec_ub"] = st["spec_ub"]
         if constrain is not None:
             out = constrain(out)
         return out

@@ -10,15 +10,19 @@ from fortran_davidson_tpu.ops.sparse import (
     BSROperator,
     ELLOperator,
     HybridBandedOperator,
+    QuantizedBandedOperator,
     generate_banded_bsr,
     generate_local_sparse,
     generate_sparse_diagonal_dominant,
+    quantize_banded_int8,
     split_band_remainder,
 )
 
 __all__ = [
     "BSROperator",
     "HybridBandedOperator",
+    "QuantizedBandedOperator",
+    "quantize_banded_int8",
     "generate_local_sparse",
     "split_band_remainder",
     "DenseOperator",
