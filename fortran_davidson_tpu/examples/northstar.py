@@ -31,7 +31,10 @@ def main(argv=None) -> int:
     parser.add_argument("--lowest", type=int, default=4)
     # float32 residual floor at n=10M is ~1-2.5e-3 (wide-spectrum Gram
     # roundoff); measured on v5e: 4 iterations, 0.65 s warm, exact
-    # eigenvalues at this tolerance.
+    # eigenvalues at this tolerance. With --refined the floor drops to
+    # ~3.5e-5 absolute (f32 basis-storage limit; measured at 259
+    # ms/iter) — use --tolerance 1e-4 there, and --polish for 1e-11-
+    # grade final residuals.
     parser.add_argument("--tolerance", type=float, default=3e-3)
     parser.add_argument("--mode", choices=["free", "banded"], default="free")
     parser.add_argument("--block-size", type=int, default=128)

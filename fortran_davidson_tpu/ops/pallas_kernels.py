@@ -585,6 +585,139 @@ def banded_q_bsr_spmm(qblocks, scale_rows, diag, x, *, bandwidth: int,
     return out[:, :m] if mp != m else out
 
 
+def _banded_q_ext_kernel(blocks_ref, srow_ref, diag_ref, x_hbm, out_hbm,
+                         xbuf, sem, obuf, osem, *, K: int, bw: int, W: int,
+                         R: int, NB: int = _N_WINDOW_BUFFERS):
+    """Halo-extended variant of :func:`_banded_q_kernel` (int8 blocks +
+    f32 scales/diagonal over a pre-extended input — the shard-local
+    contraction of the distributed quantized solve). No edge forms: every
+    tile's window is valid, like :func:`_banded_ext_kernel`."""
+    bs = blocks_ref.shape[1]
+    tile = pl.program_id(0)
+    ntiles = pl.num_programs(0)
+    NBO = _N_OUT_BUFFERS
+    D = NB - 1
+
+    def window(slot, t):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(t * R * bs, W * bs), :],
+            xbuf.at[slot], sem.at[slot])
+
+    def out_copy(oslot, t):
+        return pltpu.make_async_copy(
+            obuf.at[oslot], out_hbm.at[pl.ds(t * R, R)], osem.at[oslot])
+
+    slot = tile % NB
+    oslot = tile % NBO
+
+    @pl.when(tile == 0)
+    def _():
+        for d in range(min(D, ntiles)):
+            window(d % NB, d).start()
+
+    @pl.when(tile + D < ntiles)
+    def _():
+        window((tile + D) % NB, tile + D).start()
+
+    @pl.when(tile >= NBO)
+    def _():
+        out_copy(oslot, tile - NBO).wait()
+
+    window(slot, tile).wait()
+
+    for i in range(R):
+        w = blocks_ref[i].astype(jnp.float32) * srow_ref[i][None, :]
+        acc = jnp.dot(w, xbuf[slot, i * bs:(i + K) * bs, :],
+                      preferred_element_type=jnp.float32)
+        ctr = xbuf[slot, (i + bw) * bs:(i + bw + 1) * bs, :]
+        obuf[oslot, i] = (acc + diag_ref[i][:, None]
+                          * ctr.astype(jnp.float32)).astype(obuf.dtype)
+
+    out_copy(oslot, tile).start()
+
+    @pl.when(tile == ntiles - 1)
+    def _():
+        for d in range(min(NBO, ntiles)):
+            t_last = ntiles - 1 - d
+
+            @pl.when(t_last >= 0)
+            def _():
+                out_copy(t_last % NBO, t_last).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bandwidth", "interpret", "out_dtype"))
+def banded_q_ext_bsr_spmm(qblocks, scale_rows, diag, x_ext, *,
+                          bandwidth: int, interpret: bool | None = None,
+                          out_dtype=None):
+    """int8-quantized DIA banded SpMM over a halo-extended input
+    (``x_ext`` carries ``bandwidth`` block rows of halo on each side;
+    see :func:`banded_ext_bsr_spmm` for the extension contract)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out_dtype = jnp.dtype(x_ext.dtype if out_dtype is None else out_dtype)
+    nbr, bs, kbs = qblocks.shape
+    K = kbs // bs
+    bw = int(bandwidth)
+    if K != 2 * bw + 1 or nbr % _TILE_R:
+        raise ValueError(
+            f"banded_q_ext_bsr_spmm needs K == 2*bw+1 and nbr % {_TILE_R} "
+            f"== 0; got nbr={nbr}, K={K}, bw={bw}")
+    n_ext, m = x_ext.shape
+    if n_ext != (nbr + 2 * bw) * bs:
+        raise ValueError(
+            f"x_ext has {n_ext} rows, expected {(nbr + 2 * bw) * bs}")
+    mp = max(128, -(-m // 128) * 128)
+    if mp != m:
+        x_ext = jnp.pad(x_ext, ((0, 0), (0, mp - m)))
+
+    b_item = 1 + 4 / bs + 4 / (K * bs)
+    plan = _banded_plan(nbr, bs, K, bw, mp, x_ext.dtype.itemsize, b_item,
+                        out_dtype.itemsize, min_tiles=1)
+    if plan is None:
+        raise ValueError(
+            f"banded_q_ext_bsr_spmm: no (tile, ring) plan fits VMEM for "
+            f"bs={bs}, K={K}, m={mp} — reduce the block width m")
+    R, NB, W = plan
+
+    kernel = functools.partial(_banded_q_ext_kernel, K=K, bw=bw, W=W, R=R,
+                               NB=NB)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nbr // R,),
+        in_specs=[
+            pl.BlockSpec((R, bs, K * bs), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, K * bs), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, bs), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((NB, W * bs, mp), x_ext.dtype),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.VMEM((_N_OUT_BUFFERS, R, bs, mp), out_dtype),
+            pltpu.SemaphoreType.DMA((_N_OUT_BUFFERS,)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((nbr, bs, mp), out_dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbr * K * bs * bs * mp,
+            bytes_accessed=(qblocks.size + scale_rows.size * 4
+                            + diag.size * 4
+                            + (nbr // R) * W * bs * mp
+                            * x_ext.dtype.itemsize
+                            + nbr * bs * mp * out_dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(qblocks, scale_rows, diag, x_ext)
+    out = out.reshape(nbr * bs, mp)
+    return out[:, :m] if mp != m else out
+
+
 def _banded_ext_kernel(blocks_ref, x_hbm, out_hbm, xbuf, sem, obuf, osem,
                        *, K: int, W: int, R: int,
                        NB: int = _N_WINDOW_BUFFERS):

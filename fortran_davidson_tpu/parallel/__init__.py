@@ -1,4 +1,5 @@
-from fortran_davidson_tpu.parallel.halo import HaloBSROperator
+from fortran_davidson_tpu.parallel.halo import (HaloBSROperator,
+                                                HaloQuantizedOperator)
 from fortran_davidson_tpu.parallel.mesh import (ROWS_AXIS, default_mesh,
                                                 replicated, row_sharding)
 from fortran_davidson_tpu.parallel.sharded import (RowShardConstraint,
@@ -7,6 +8,7 @@ from fortran_davidson_tpu.parallel.sharded import (RowShardConstraint,
 
 __all__ = [
     "HaloBSROperator",
+    "HaloQuantizedOperator",
     "ROWS_AXIS",
     "RowShardConstraint",
     "default_mesh",

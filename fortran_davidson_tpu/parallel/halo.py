@@ -222,3 +222,140 @@ class HaloBSROperator(LinearOperator):
         obj.block_cols, obj.blocks = children
         obj.bandwidth, obj.mesh, obj.axis, obj.backend = aux
         return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class HaloQuantizedOperator(LinearOperator):
+    """Row-sharded int8-quantized banded operator (halo exchange).
+
+    The distributed face of
+    :class:`~fortran_davidson_tpu.ops.sparse.QuantizedBandedOperator`:
+    int8 off-diagonal blocks + per-slot f32 scales + exact f32 diagonal,
+    all row-sharded; the SpMM ppermutes only the ``bandwidth * bs``
+    boundary rows to the ring neighbors and contracts the halo-extended
+    local slab — through the int8 Pallas kernel on TPU
+    (``banded_q_ext_bsr_spmm``) or a dequantized einsum elsewhere.
+    Same accuracy contract as the single-chip quantized operator
+    (bf16-class; diagonal/offdiag exact).
+    """
+
+    def __init__(self, qblocks, scale_rows, diag, bandwidth: int,
+                 mesh: Mesh, axis: str = ROWS_AXIS, backend: str = "pallas",
+                 _placed: bool = False):
+        nbr, bs, kbs = qblocks.shape
+        ndev = mesh.shape[axis]
+        require(nbr % ndev == 0, OperatorError,
+                f"{nbr} block rows not divisible by {ndev} devices")
+        require(bandwidth <= nbr // ndev, OperatorError,
+                f"bandwidth {bandwidth} exceeds local slab {nbr // ndev} — "
+                "halo exchange only reaches ring neighbors")
+        require(kbs == (2 * bandwidth + 1) * bs, OperatorError,
+                "quantized halo needs DIA-aligned K == 2*bw+1 slots")
+        require(backend in ("xla", "pallas"), OperatorError,
+                f"unknown backend {backend!r}")
+        if not _placed:
+            qblocks = jax.device_put(jnp.asarray(qblocks, jnp.int8),
+                                     row_sharding(mesh, 3, axis))
+            scale_rows = jax.device_put(
+                jnp.asarray(scale_rows, jnp.float32),
+                row_sharding(mesh, 2, axis))
+            diag = jax.device_put(jnp.asarray(diag, jnp.float32),
+                                  row_sharding(mesh, 2, axis))
+        self.qblocks = qblocks
+        self.scale_rows = scale_rows
+        self.diag = diag
+        self.bandwidth = int(bandwidth)
+        self.mesh = mesh
+        self.axis = axis
+        self.backend = backend
+
+    @classmethod
+    def from_quantized(cls, op, mesh: Mesh, axis: str = ROWS_AXIS,
+                       backend: str | None = None):
+        """Distribute a single-chip ``QuantizedBandedOperator``."""
+        return cls(op.qblocks, op.scale_rows, op.diag, op.bandwidth,
+                   mesh, axis,
+                   backend=op.backend if backend is None else backend)
+
+    # -- LinearOperator -------------------------------------------------
+    @property
+    def block_size(self) -> int:
+        return self.qblocks.shape[1]
+
+    @property
+    def shape(self):
+        n = self.qblocks.shape[0] * self.block_size
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.scale_rows.dtype
+
+    def matmat(self, block):
+        nbr, bs, kbs = self.qblocks.shape
+        K = kbs // bs
+        ndev = self.mesh.shape[self.axis]
+        nbr_l = nbr // ndev
+        bw = self.bandwidth
+        axis = self.axis
+
+        fwd = [(d, (d + 1) % ndev) for d in range(ndev)]
+        bwd = [(d, (d - 1) % ndev) for d in range(ndev)]
+        use_pallas = self.backend == "pallas" and nbr_l % 8 == 0
+
+        def extend(x):
+            halo = bw * bs
+            from_prev = jax.lax.ppermute(x[-halo:], axis, fwd)
+            from_next = jax.lax.ppermute(x[:halo], axis, bwd)
+            return jnp.concatenate([from_prev, x, from_next])
+
+        def local_q_pallas(qb, sr, dg, x):
+            from fortran_davidson_tpu.ops.pallas_kernels import \
+                banded_q_ext_bsr_spmm
+            return banded_q_ext_bsr_spmm(qb, sr, dg, extend(x),
+                                         bandwidth=bw, out_dtype=x.dtype)
+
+        def local_q_xla(qb, sr, dg, x):
+            # Dequantized DIA contraction over the extended window (the
+            # ring ends' wrapped slabs multiply zero out-of-range blocks).
+            m = x.shape[1]
+            xb = extend(x).reshape(nbr_l + 2 * bw, bs, m)
+            offs = (jnp.arange(nbr_l, dtype=jnp.int32)[:, None]
+                    + jnp.arange(K, dtype=jnp.int32)[None, :])
+            g = jnp.take(xb, offs, axis=0).reshape(nbr_l, K * bs, m)
+            deq = (qb.astype(jnp.float32) * sr[:, None, :]).astype(x.dtype)
+            out = jnp.einsum("rab,rbm->ram", deq, g,
+                             preferred_element_type=jnp.float32)
+            out = out + (dg[:, :, None].astype(jnp.float32)
+                         * x.reshape(nbr_l, bs, m).astype(jnp.float32))
+            return out.reshape(nbr_l * bs, m).astype(x.dtype)
+
+        spec2 = P(axis, None)
+        fn = local_q_pallas if use_pallas else local_q_xla
+        return jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(P(axis, None, None), spec2, spec2, spec2),
+            out_specs=spec2, check_vma=False,
+        )(self.qblocks, self.scale_rows, self.diag, block)
+
+    def diagonal(self):
+        return self.diag.reshape(-1)
+
+    def offdiag(self) -> "HaloQuantizedOperator":
+        """Exact: the diagonal is stored separately — zero it out."""
+        return HaloQuantizedOperator(
+            self.qblocks, self.scale_rows, jnp.zeros_like(self.diag),
+            self.bandwidth, self.mesh, self.axis, backend=self.backend,
+            _placed=True)
+
+    # -- pytree ----------------------------------------------------------
+    def tree_flatten(self):
+        return ((self.qblocks, self.scale_rows, self.diag),
+                (self.bandwidth, self.mesh, self.axis, self.backend))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.qblocks, obj.scale_rows, obj.diag = children
+        obj.bandwidth, obj.mesh, obj.axis, obj.backend = aux
+        return obj

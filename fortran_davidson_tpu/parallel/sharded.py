@@ -36,7 +36,8 @@ from fortran_davidson_tpu.ops.operators import (DenseOperator,
                                                 MatrixFreeOperator,
                                                 as_operator)
 from fortran_davidson_tpu.ops.sparse import (BSROperator, ELLOperator,
-                                             HybridBandedOperator)
+                                             HybridBandedOperator,
+                                             QuantizedBandedOperator)
 from fortran_davidson_tpu.parallel.mesh import ROWS_AXIS, row_sharding
 from fortran_davidson_tpu.utils.dtypes import canonical_dtype
 from fortran_davidson_tpu.utils.errors import OperatorError, require
@@ -74,6 +75,9 @@ def shard_operator(op: LinearOperator, mesh: Mesh,
     - hybrid band+remainder: band via the BSR path, remainder via the ELL
       path (both row partitions line up, so the sum stays shard-local up
       to the remainder's gather);
+    - int8 quantized banded: promoted to :class:`HaloQuantizedOperator`
+      (blocks/scales/diagonal row-sharded, ring ppermute halos, int8
+      Pallas kernel per shard);
     - matrix-free: every captured array whose leading dimension is ``n``
       (the callable itself must be shard-oblivious, i.e. expressed in
       global-view jnp ops).
@@ -83,17 +87,18 @@ def shard_operator(op: LinearOperator, mesh: Mesh,
     running with an unsharded operator would defeat the point of
     :func:`eigensolve_sharded` without any visible signal.
     """
-    from fortran_davidson_tpu.parallel.halo import HaloBSROperator
+    from fortran_davidson_tpu.parallel.halo import (HaloBSROperator,
+                                                    HaloQuantizedOperator)
 
     n = op.shape[0]
     ndev = mesh.shape[axis]
-    if isinstance(op, BSROperator):
-        nbr = op.block_cols.shape[0]
+    if isinstance(op, (BSROperator, QuantizedBandedOperator)):
+        nbr = op.n_block_rows
         require(nbr % ndev == 0, OperatorError,
                 f"{nbr} block rows not divisible by the {ndev}-device mesh; "
                 f"build the operator with block_rows_multiple={ndev} "
                 "(split_band_remainder) or pad the block rows")
-    elif not isinstance(op, HaloBSROperator):
+    elif not isinstance(op, (HaloBSROperator, HaloQuantizedOperator)):
         require(n % ndev == 0, OperatorError,
                 f"operator dimension {n} not divisible by the {ndev}-device "
                 f"mesh; pad n to a multiple of {ndev}")
@@ -122,7 +127,11 @@ def shard_operator(op: LinearOperator, mesh: Mesh,
         diag = None if op.diag is None else put(op.diag)
         return MatrixFreeOperator(op.fn, n, dtype=op.dtype, diag=diag,
                                   captured=captured)
-    if isinstance(op, HaloBSROperator):
+    if isinstance(op, QuantizedBandedOperator):
+        # Quantized banded -> halo form: int8 blocks + scales + diagonal
+        # row-sharded, ring ppermute halo exchange, int8 Pallas kernel.
+        return HaloQuantizedOperator.from_quantized(op, mesh, axis)
+    if isinstance(op, (HaloBSROperator, HaloQuantizedOperator)):
         return op  # owns its placement (shard_map + ppermute inside)
     raise OperatorError(
         f"shard_operator: no sharding rule for {type(op).__name__}; "

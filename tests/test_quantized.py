@@ -101,6 +101,58 @@ class TestQuantizeBandedInt8:
                                    np.asarray(exact.eigenvalues),
                                    atol=2 * _quant_tol(q))
 
+    def test_sharded_halo_quantized(self):
+        # shard_operator routes quantized -> HaloQuantizedOperator (int8
+        # blocks + scales + diagonal row-sharded, ppermute halos); both
+        # local backends must match the single-device operator, and the
+        # sharded solve must match single-device iteration counts.
+        import fortran_davidson_tpu as fdt
+        from fortran_davidson_tpu.parallel import (HaloQuantizedOperator,
+                                                   default_mesh,
+                                                   eigensolve_sharded,
+                                                   shard_operator)
+        mesh = default_mesh()
+        base = generate_banded_bsr(32, 8, bandwidth=1, coupling=1e-3,
+                                   dtype=jnp.float32)
+        q = quantize_banded_int8(base)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((base.shape[0], 4)),
+                        jnp.float32)
+        hq = shard_operator(q, mesh)
+        assert isinstance(hq, HaloQuantizedOperator)
+        np.testing.assert_allclose(np.asarray(hq.matmat(x)),
+                                   np.asarray(q.matmat(x)),
+                                   rtol=2e-5, atol=2e-5)
+        hp = HaloQuantizedOperator.from_quantized(q, mesh,
+                                                  backend="pallas")
+        np.testing.assert_allclose(np.asarray(hp.matmat(x)),
+                                   np.asarray(q.matmat(x)),
+                                   rtol=2e-5, atol=2e-5)
+        common = dict(tolerance=1e-3, dtype="float32",
+                      relative_tolerance=True)
+        single = fdt.eigensolve(q, 3, **common)
+        sh = eigensolve_sharded(q, 3, mesh, **common)
+        assert int(sh.iterations) == int(single.iterations)
+        np.testing.assert_allclose(np.asarray(sh.eigenvalues),
+                                   np.asarray(single.eigenvalues),
+                                   rtol=1e-5)
+
+    def test_halo_offdiag_exact(self):
+        from fortran_davidson_tpu.parallel import (HaloQuantizedOperator,
+                                                   default_mesh)
+        mesh = default_mesh()
+        base = generate_banded_bsr(16, 8, bandwidth=1, coupling=1e-3,
+                                   dtype=jnp.float32)
+        q = quantize_banded_int8(base)
+        hq = HaloQuantizedOperator.from_quantized(q, mesh)
+        off = hq.offdiag()
+        assert float(jnp.abs(off.diagonal()).max()) == 0.0
+        x = jnp.ones((base.shape[0], 2), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(hq.matmat(x) - off.matmat(x)),
+            np.asarray(hq.diagonal())[:, None] * np.asarray(x),
+            rtol=1e-6, atol=1e-6)
+
     def test_refined_path_composes(self):
         # offdiag() is exact for the quantized operator, so the refined
         # (double-single) pipeline runs on quantized storage unchanged —
