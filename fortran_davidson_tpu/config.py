@@ -84,6 +84,19 @@ class DavidsonOptions:
         two_prod/two_sum arithmetic (one extra off-diagonal operator
         application on the k wanted columns per iteration), and
         Rayleigh-refined reported eigenvalues. See ``core.refine``.
+      final_polish: number of double-single polish iterations applied to
+        the k returned eigenpairs INSIDE the solve (requires
+        ``refined=True``). f32 basis storage floors the loop's attainable
+        residual (~3.5e-5 absolute at 10M rows, measured); the polish
+        holds the k vectors as hi/lo f32 pairs, beating that floor by
+        orders of magnitude (1e-11-grade true residuals), and convergence
+        is re-evaluated against the POLISHED true residuals — so
+        ``tolerance=1e-8`` solves of 10M-row f32 problems report
+        ``converged=True`` honestly. Cost: one off-diagonal operator
+        application on 2k columns per polish iteration. The returned
+        eigenvectors are the polished hi words; use
+        :func:`solver.polish_eigenpairs` directly when the lo words are
+        needed.
       cheb_degree: degree of the Chebyshev filter applied to the restart
         block at every subspace collapse (0 = off, the reference
         schedule ``src/davidson.f90:218``; >= 2 enables ChASE-style
@@ -134,6 +147,7 @@ class DavidsonOptions:
     locking: bool = False
     matmul_precision: Optional[str] = None
     cheb_degree: int = 0
+    final_polish: int = 0
 
     def __post_init__(self):
         validate_method(self.method)
@@ -156,6 +170,11 @@ class DavidsonOptions:
                 f"unknown matmul_precision {self.matmul_precision!r}")
         require(self.cheb_degree >= 0, InvalidOptionsError,
                 "cheb_degree must be >= 0")
+        require(self.final_polish >= 0, InvalidOptionsError,
+                "final_polish must be >= 0")
+        require(self.final_polish == 0 or self.refined, InvalidOptionsError,
+                "final_polish requires refined=True (the polish runs on "
+                "the refined path's off-diagonal operator splits)")
         jnp.dtype(self.dtype)  # raises on nonsense
 
 
@@ -186,6 +205,7 @@ class ResolvedConfig:
     # f32 solves resolve to "float32" unless the user overrode it.
     matmul_precision: Optional[str] = None
     cheb_degree: int = 0
+    final_polish: int = 0
 
 
 def merge_options(options: Optional[DavidsonOptions],
@@ -274,6 +294,7 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
                            if jnp.dtype(opts.dtype) == jnp.float32
                            else None)),
         cheb_degree=int(opts.cheb_degree),
+        final_polish=int(opts.final_polish),
     )
 
 

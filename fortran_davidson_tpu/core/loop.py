@@ -92,6 +92,7 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
         history=jnp.full((cfg.max_iterations, k), jnp.nan, dt),
         dims=jnp.zeros((cfg.max_iterations,), jnp.int32),
         op_cols=jnp.asarray(init_dim, jnp.int32),
+        stalled=jnp.asarray(False),
     )
     if gen:
         state["BV"] = BV0
@@ -126,9 +127,15 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
     diag_b = B.diagonal().astype(dt) if gen else jnp.ones((n,), dt)
 
     def cond(st):
+        # `stalled`: a lowest-k expansion admitted ZERO new columns below
+        # the subspace cap — the state is then an exact fixed point of
+        # the body (nothing changed, nothing ever will), so spinning to
+        # max_iterations would only burn time. Exit with converged as-is
+        # (the caller sees honest residuals; `final_polish` can still
+        # close the remaining gap).
         return ((st["it"] < jnp.minimum(st["chunk_end"],
                                         cfg.max_iterations))
-                & ~st["all_conv"])
+                & ~st["all_conv"] & ~st["stalled"])
 
     def body(st):
         V, AV = st["V"], st["AV"]
@@ -265,6 +272,29 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 V, corr, corr_mask, n_reorth=cfg.n_reorth, method=cfg.ortho,
                 precise=precise)
             AQ = A.matmat(Q)
+            if precise:
+                # Spectral noise gate (second line of defense behind the
+                # SVQB noise-floor threshold): a whitened junk direction
+                # has a Rayleigh quotient at the mean-diagonal scale
+                # (~n/2 for diag ~ 1..n), while legitimate DPR/GJD
+                # corrections for the LOWEST pairs concentrate where
+                # |lambda - d_i| is small — measured <= ~120x the wanted
+                # eigenvalues. One admitted junk column inflates ||H||
+                # until the f32 eigh can no longer resolve the wanted
+                # pairs, so dropping a rare borderline-legitimate column
+                # is the cheap side of the asymmetry. AQ is already in
+                # hand; the gate is one column reduction. Survivors are
+                # recompacted to a prefix (the lowest-k placement relies
+                # on it).
+                rq = jnp.sum(Q * AQ, axis=0)
+                wmax = jnp.max(jnp.abs(w[:k]) * pair_mask[:k])
+                cap = 250.0 * jnp.maximum(wmax, 1.0)
+                keep = alive_q * (rq <= cap).astype(dt)
+                order = jnp.argsort(jnp.logical_not(keep > 0.5),
+                                    stable=True)
+                Q = (Q * keep[None, :])[:, order]
+                AQ = (AQ * keep[None, :])[:, order]
+                alive_q = keep[order]
             live = jnp.sum(alive_q).astype(jnp.int32)
             if cfg.expansion == "lowest-k":
                 # Survivors occupy a prefix of the kk-column block; write
@@ -353,12 +383,22 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         else:
             Vn, AVn, mn, okn, opc = new
 
+        # Fixed-point detection: in lowest-k mode an expansion that admits
+        # zero columns leaves the state bit-identical (m, V, caches, masks
+        # all unchanged), so the loop could never progress again. m is the
+        # complete witness: expand changes it by `live`, collapse lowers
+        # it, and the all_conv no-update case exits via all_conv anyway.
+        if cfg.expansion == "lowest-k":
+            stalled = (mn == m) & ~all_conv
+        else:
+            stalled = jnp.asarray(False)
         out = dict(
             V=Vn, AV=AVn, m=mn, col_ok=okn, it=it + 1,
             chunk_end=st["chunk_end"],
             has_conv=has_conv, all_conv=all_conv,
             evals=w_report[:k], evecs=X[:, :k], errors=errors,
             history=history, dims=dims, op_cols=opc,
+            stalled=stalled,
         )
         if gen:
             out["BV"] = BVn
@@ -389,13 +429,58 @@ def pack_result(final: dict) -> DavidsonResult:
     )
 
 
+def _apply_final_polish(cfg: ResolvedConfig, A: LinearOperator,
+                        B: Optional[LinearOperator], A_off, B_off,
+                        res: DavidsonResult) -> DavidsonResult:
+    """Double-single polish of the k returned pairs + honest re-check.
+
+    The loop's attainable residual is floored by f32 BASIS storage
+    (measured ~3.5e-5 absolute at 10M rows); the polish holds the k
+    vectors as hi/lo pairs and beats that floor by orders of magnitude.
+    Convergence is re-evaluated against the polished TRUE residuals, so
+    the result's contract (``converged`` == residuals below tolerance)
+    holds at tolerances the loop alone cannot reach on f32 hardware.
+    """
+    from fortran_davidson_tpu.core import refine
+
+    dt = jnp.dtype(cfg.dtype)
+    diag_a = A.diagonal().astype(dt)
+    diag_b = B.diagonal().astype(dt) if B is not None else None
+    with _precision_ctx(cfg):
+        pol = refine.polish(A_off, diag_a, res.eigenvalues,
+                            res.eigenvectors,
+                            iterations=cfg.final_polish,
+                            B_off=B_off, diag_b=diag_b)
+    if cfg.relative:
+        conv = pol.errors < cfg.tolerance * jnp.maximum(
+            jnp.abs(pol.evals), 1.0)
+    else:
+        conv = pol.errors < cfg.tolerance
+    return DavidsonResult(
+        eigenvalues=pol.evals,
+        eigenvectors=pol.evecs_hi,
+        iterations=res.iterations,
+        converged=jnp.all(conv),
+        converged_pairs=conv,
+        residual_norms=pol.errors,
+        residual_history=res.residual_history,
+        subspace_dims=res.subspace_dims,
+        # hi+lo both pass through A_off once per polish iteration.
+        operator_columns=res.operator_columns
+        + 2 * cfg.final_polish * cfg.lowest,
+    )
+
+
 def _engine(cfg: ResolvedConfig, A: LinearOperator,
             B: Optional[LinearOperator],
             constrain=None, A_off=None, B_off=None) -> DavidsonResult:
     state = init_state(cfg, A, B, constrain=constrain)
     final = run_state(cfg, A, B, state, constrain=constrain,
                       A_off=A_off, B_off=B_off)
-    return pack_result(final)
+    res = pack_result(final)
+    if cfg.final_polish > 0:
+        res = _apply_final_polish(cfg, A, B, A_off, B_off, res)
+    return res
 
 
 _ENGINE_CACHE: dict = {}
@@ -469,5 +554,9 @@ def run_chunked(cfg: ResolvedConfig, A: LinearOperator,
         it = int(st["it"])  # host sync once per chunk
         for cb in callbacks:
             cb(st)
-        if bool(st["all_conv"]) or it >= cfg.max_iterations:
-            return pack_result(st)
+        if (bool(st["all_conv"]) or bool(st.get("stalled", False))
+                or it >= cfg.max_iterations):
+            res = pack_result(st)
+            if cfg.final_polish > 0:
+                res = _apply_final_polish(cfg, A, B, A_off, B_off, res)
+            return res

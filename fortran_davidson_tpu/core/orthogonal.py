@@ -96,6 +96,23 @@ def orthonormalize_block(V, block, mask, n_reorth: int = 2,
         norms_before, jnp.finfo(dt).tiny)) & mask.astype(bool)
     block = block * alive[None, :].astype(dt)
     mask = mask * alive.astype(dt)
+    # Noise floor for SVQB's whitening (precise path): each surviving
+    # column carries broadband rounding noise at ~eps*sqrt(n) RELATIVE
+    # amplitude (accumulated elementwise rounding of the residual /
+    # correction pipeline). When correction columns are strongly
+    # correlated (structurally common on separable/clustered operators),
+    # their Gram's small eigenvalues are the DIFFERENCE directions; any
+    # difference below the noise floor is junk, and rsqrt-whitening would
+    # install it as a unit basis vector with a mean-diagonal-scale
+    # Rayleigh quotient — inflating ||H|| until the working-precision
+    # eigh destroys the wanted pairs (measured at 1M rows f32: residuals
+    # 5e-6 -> 5e-3 and a frozen basis). Junk amplitude a maps to a Gram
+    # eigenvalue a^2, hence the squared threshold.
+    rank_rtol = None
+    if precise:
+        n = block.shape[0]
+        rank_rtol = max(block.shape[1] * float(eps),
+                        float((10.0 * eps) ** 2 * n))
     # Intra-block orthonormalization. Active columns form a prefix, so the
     # leading columns of Q from a thin QR span them; trailing Q columns are
     # arbitrary orthonormal directions and get masked back to zero.
@@ -124,7 +141,8 @@ def orthonormalize_block(V, block, mask, n_reorth: int = 2,
     # invents directions), so the combinations stay orthogonal to V and
     # no extra cleanup sweep is needed — saving four streaming passes
     # over the (n, m_max) arrays per iteration.
-    return svqb(block, mask, return_alive=True, precise=precise)
+    return svqb(block, mask, rank_rtol=rank_rtol, return_alive=True,
+                precise=precise)
 
 
 def _gram(X, precise: bool):

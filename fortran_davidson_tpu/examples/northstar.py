@@ -52,6 +52,14 @@ def main(argv=None) -> int:
     parser.add_argument("--polish", type=int, default=0, metavar="ITERS",
                         help="post-solve double-single eigenpair polish "
                         "(residuals to the 1e-8 regime)")
+    parser.add_argument("--final-polish", type=int, default=0,
+                        metavar="ITERS",
+                        help="in-solve polish (requires --refined): "
+                        "convergence is checked against the POLISHED "
+                        "true residuals — the 10M-to-1e-8 north star is "
+                        "`--refined --final-polish 3 --tolerance 1e-8 "
+                        "--expansion lowest-k` (measured: converged, "
+                        "7.3 s warm on one v5e chip)")
     args = parser.parse_args(argv)
 
     import jax
@@ -77,7 +85,7 @@ def main(argv=None) -> int:
     common = dict(method="DPR", tolerance=args.tolerance,
                   max_iterations=args.max_iterations, dtype="float32",
                   relative_tolerance=True, expansion=args.expansion,
-                  refined=args.refined)
+                  refined=args.refined, final_polish=args.final_polish)
 
     if args.sharded:
         from fortran_davidson_tpu.parallel import (default_mesh,
