@@ -429,9 +429,22 @@ def pack_result(final: dict) -> DavidsonResult:
     )
 
 
+def _ds_strategy(constrain):
+    """Tall-reduction strategy for code traced under this engine.
+
+    Single-device engines use the streaming slab cascade; GSPMD-sharded
+    engines (constrain pins row shardings) need the tree — the cascade's
+    dynamic row slices would make the partitioner gather across shards
+    every loop step. See ``utils.ds.sum_strategy``.
+    """
+    from fortran_davidson_tpu.utils import ds as dsm
+    return dsm.sum_strategy("tree" if constrain is not None else "cascade")
+
+
 def _apply_final_polish(cfg: ResolvedConfig, A: LinearOperator,
                         B: Optional[LinearOperator], A_off, B_off,
-                        res: DavidsonResult) -> DavidsonResult:
+                        res: DavidsonResult,
+                        constrain=None) -> DavidsonResult:
     """Double-single polish of the k returned pairs + honest re-check.
 
     The loop's attainable residual is floored by f32 BASIS storage
@@ -446,7 +459,7 @@ def _apply_final_polish(cfg: ResolvedConfig, A: LinearOperator,
     dt = jnp.dtype(cfg.dtype)
     diag_a = A.diagonal().astype(dt)
     diag_b = B.diagonal().astype(dt) if B is not None else None
-    with _precision_ctx(cfg):
+    with _precision_ctx(cfg), _ds_strategy(constrain):
         pol = refine.polish(A_off, diag_a, res.eigenvalues,
                             res.eigenvectors,
                             iterations=cfg.final_polish,
@@ -474,12 +487,14 @@ def _apply_final_polish(cfg: ResolvedConfig, A: LinearOperator,
 def _engine(cfg: ResolvedConfig, A: LinearOperator,
             B: Optional[LinearOperator],
             constrain=None, A_off=None, B_off=None) -> DavidsonResult:
-    state = init_state(cfg, A, B, constrain=constrain)
-    final = run_state(cfg, A, B, state, constrain=constrain,
-                      A_off=A_off, B_off=B_off)
-    res = pack_result(final)
-    if cfg.final_polish > 0:
-        res = _apply_final_polish(cfg, A, B, A_off, B_off, res)
+    with _ds_strategy(constrain):
+        state = init_state(cfg, A, B, constrain=constrain)
+        final = run_state(cfg, A, B, state, constrain=constrain,
+                          A_off=A_off, B_off=B_off)
+        res = pack_result(final)
+        if cfg.final_polish > 0:
+            res = _apply_final_polish(cfg, A, B, A_off, B_off, res,
+                                      constrain=constrain)
     return res
 
 
@@ -520,12 +535,16 @@ def get_stepper(cfg: ResolvedConfig, constrain=None):
     key = (cfg, constrain)
     pair = _STEPPER_CACHE.get(key)
     if pair is None:
-        init = jax.jit(lambda A, B: init_state(cfg, A, B, constrain=constrain))
-        step = jax.jit(
-            lambda A, B, st, A_off=None, B_off=None: run_state(
-                cfg, A, B, st, constrain=constrain,
-                A_off=A_off, B_off=B_off))
-        pair = (init, step)
+        def init_fn(A, B):
+            with _ds_strategy(constrain):
+                return init_state(cfg, A, B, constrain=constrain)
+
+        def step_fn(A, B, st, A_off=None, B_off=None):
+            with _ds_strategy(constrain):
+                return run_state(cfg, A, B, st, constrain=constrain,
+                                 A_off=A_off, B_off=B_off)
+
+        pair = (jax.jit(init_fn), jax.jit(step_fn))
         _STEPPER_CACHE[key] = pair
     return pair
 
@@ -558,5 +577,6 @@ def run_chunked(cfg: ResolvedConfig, A: LinearOperator,
                 or it >= cfg.max_iterations):
             res = pack_result(st)
             if cfg.final_polish > 0:
-                res = _apply_final_polish(cfg, A, B, A_off, B_off, res)
+                res = _apply_final_polish(cfg, A, B, A_off, B_off, res,
+                                          constrain=constrain)
             return res

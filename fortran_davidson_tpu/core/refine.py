@@ -58,20 +58,15 @@ def pencil_shifted_diag_apply(diag_a, diag_b, lam_hi, lam_lo, X) -> DS:
 def _diag_quad_form(d, X, Y=None, extra_lo=None) -> DS:
     """Fully compensated Σ_i d_i X_i Y_i per column (Y defaults to X).
 
-    BOTH multiplications use two_prod — a plain f32 product of the
+    Delegates to :func:`~fortran_davidson_tpu.utils.ds.weighted_dot_cols_ds`
+    (two_prod on BOTH multiplications — a plain f32 product of the
     near-unit terms (d x)·x would round at eps*|d x²| per element, and
     since the diagonal dominates the Rayleigh quotient that single
-    rounding becomes an eps-relative error on λ (measured: exactly the
-    6e-8 floor this replaced). ``extra_lo`` adds a per-element first-order
-    term (e.g. the x_lo channel cross terms of a DS iterate).
+    rounding becomes an eps-relative error on λ; measured: exactly the
+    6e-8 floor this replaced). ``extra_lo`` adds a per-element
+    first-order term (e.g. the x_lo channel cross terms of a DS iterate).
     """
-    Y = X if Y is None else Y
-    p, e = dsm.two_prod(d[:, None], X)
-    q, eq = dsm.two_prod(p, Y)
-    lo = eq + e * Y
-    if extra_lo is not None:
-        lo = lo + extra_lo
-    return dsm.tall_sum_ds(q, lo=lo)
+    return dsm.weighted_dot_cols_ds(d, X, Y, extra_lo=extra_lo)
 
 
 def _assemble_residual(AoffX, shift: DS, lam: DS, BoffX=None) -> DS:
@@ -94,8 +89,7 @@ def _assemble_residual(AoffX, shift: DS, lam: DS, BoffX=None) -> DS:
 
 def _ds_col_norms(R: DS):
     """Column norms of a DS residual: ||hi||² + 2<hi, lo> compensated."""
-    sq = dsm.ds_add(dsm.col_sumsq_ds(R.hi),
-                    dsm.ds(2.0 * dsm.dot_cols_ds(R.hi, R.lo).to_float()))
+    sq = dsm.col_sumsq_pair_ds(R.hi, R.lo)
     # Guard tiny negative roundoff before the sqrt.
     return dsm.ds_sqrt(DS(jnp.maximum(sq.hi, 0.0),
                           jnp.where(sq.hi > 0, sq.lo, 0.0))).to_float()
@@ -229,9 +223,7 @@ def polish(A_off, diag_a, evals, evecs, iterations: int = 3,
                                 extra_lo=2.0 * (diag_b[:, None] * x_lo)
                                 * x_hi))
         else:
-            den = dsm.ds_add(dsm.dot_cols_ds(x_hi, x_hi),
-                             dsm.ds(2.0 * dsm.dot_cols_ds(
-                                 x_hi, x_lo).to_float()))
+            den = dsm.col_sumsq_pair_ds(x_hi, x_lo)
         lam_ds = dsm.ds_div(num, den)
         lam = lam_ds.to_float()
 
@@ -268,9 +260,7 @@ def polish(A_off, diag_a, evals, evecs, iterations: int = 3,
         x_hi, x_lo = dsm.fast_two_sum(s, e2 + x_lo)
 
         # Renormalize in DS (keeps the Rayleigh quotient well-scaled).
-        nrm = dsm.ds_sqrt(dsm.ds_add(
-            dsm.col_sumsq_ds(x_hi),
-            dsm.ds(2.0 * dsm.dot_cols_ds(x_hi, x_lo).to_float())))
+        nrm = dsm.ds_sqrt(dsm.col_sumsq_pair_ds(x_hi, x_lo))
         inv = dsm.ds_div(dsm.ds(jnp.ones_like(lam)), nrm)
         p2, e3 = dsm.two_prod(x_hi, inv.hi[None, :])
         x_hi, x_lo = dsm.fast_two_sum(

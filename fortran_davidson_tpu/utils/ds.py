@@ -25,6 +25,8 @@ any float dtype (tests exercise f32 against an f64 oracle).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 from typing import NamedTuple, Optional
 
@@ -134,6 +136,89 @@ def ds_sqrt(x: DS) -> DS:
 
 # -- compensated reductions ----------------------------------------------
 
+# Summation strategy for the TALL (row axis ~ 10^6..10^7) reductions.
+#
+# "cascade" (default): a sequential ``fori_loop`` of exact two_sum slab
+# accumulations over contiguous row slabs. One streaming read of the
+# inputs, no relayout — measured 43 ms -> 5 ms for a (10M, 4) Dot2 on
+# v5e (the old path's cost was dominated by TWO (n, k) -> (n/g, 128)
+# relayout copies at ~19 ms each, not by the tree).
+#
+# "tree": the original log-depth two_sum tree. Required under GSPMD row
+# sharding: the cascade's ``dynamic_slice`` over the sharded row axis
+# would make the partitioner materialize cross-shard gathers every loop
+# step, while the tree's elementwise levels partition cleanly. The
+# sharded engine selects it via :func:`sum_strategy`.
+#
+# Both orders are error-free transformations of the same sum — accuracy
+# class is identical (~eps² relative); bit-level results differ.
+_SUM_STRATEGY: contextvars.ContextVar = contextvars.ContextVar(
+    "ds_sum_strategy", default="cascade")
+
+# Slab rows per cascade step. Big enough that the ~150-step loop
+# amortizes XLA loop overhead at n=10M; small enough that the (B, k)
+# accumulator pair stays comfortably in VMEM-scale working sets.
+_CASCADE_SLAB = 65536
+# Below this row count the tree is at least as fast and keeps small
+# (CPU test-scale) problems on the historical code path.
+_CASCADE_MIN_ROWS = 4 * _CASCADE_SLAB
+
+
+@contextlib.contextmanager
+def sum_strategy(name: str):
+    """Select the tall-reduction strategy for code traced in this scope.
+
+    ``"cascade"`` (single-device streaming loop) or ``"tree"``
+    (GSPMD-safe log-depth tree). Trace-time: wrap the ``jax.jit`` CALL
+    that traces the consuming code, not the runtime execution.
+    """
+    if name not in ("cascade", "tree"):
+        raise ValueError(f"unknown ds sum strategy {name!r}")
+    token = _SUM_STRATEGY.set(name)
+    try:
+        yield
+    finally:
+        _SUM_STRATEGY.reset(token)
+
+
+def _use_cascade(n: int) -> bool:
+    return (_SUM_STRATEGY.get() == "cascade"
+            and n >= _CASCADE_MIN_ROWS)
+
+
+def _cascade_fold(slab_fn, n: int, width: int, dtype, B: int) -> DS:
+    """Compensated column sums via a sequential slab cascade.
+
+    ``slab_fn(start, size)`` returns the (size, width) ``(hi, lo)``
+    contribution of rows [start, start+size) — typically dynamic slices
+    of the inputs with the elementwise error-free products applied
+    in-loop (so the (n, width) product arrays never materialize in HBM).
+    Accumulator position (i, j) exactly two_sums rows i, i+B, i+2B, ...
+    of column j; every rounding error lands in the lo channel. The final
+    (B, width) pair folds through the tree (n is tiny there).
+    """
+    nslab = n // B
+    hi0 = jnp.zeros((B, width), dtype)
+
+    def body(i, carry):
+        hi, lo = carry
+        sh, sl = slab_fn(i * B, B)
+        s, e = two_sum(hi, sh)
+        return s, lo + (sl + e)
+
+    hi, lo = jax.lax.fori_loop(0, nslab, body, (hi0, hi0))
+    rem = n - nslab * B
+    if rem:
+        sh, sl = slab_fn(nslab * B, rem)
+        s, e = two_sum(hi[:rem], sh)
+        hi = hi.at[:rem].set(s)
+        lo = lo.at[:rem].add(sl + e)
+    return _tall_sum_tree(hi, lo)
+
+
+def _slice(x, start, size):
+    return jax.lax.dynamic_slice_in_dim(x, start, size, axis=0)
+
 def ds_sum_tree(x, axis: int = 0, lo=None) -> DS:
     """Exact-compensated sum along ``axis`` via a two_sum binary tree.
 
@@ -163,19 +248,32 @@ def ds_sum_tree(x, axis: int = 0, lo=None) -> DS:
 def tall_sum_ds(x, lo=None) -> DS:
     """Exact-compensated column sums of a TALL (n, m) array pair.
 
-    Same math as :func:`ds_sum_tree` over axis 0, restructured for TPU
-    layout: arrays with a narrow minor dimension (m << 128) are
-    lane-padded ~128/m-fold in memory, so a tree walking (n, m) arrays
-    pays that bloat at every level (measured 570 ms for (10M, 4) — vs
-    ~12 ms for a full Gram). Here the pair is reshaped to a full-lane
-    ``(n/g, g*m)`` layout (g = 128/m strata interleaved), the two_sum
-    tree runs on compact rows, and the g strata per column are folded
-    with an exact sequential cascade at the end. Bit-for-bit it is a
-    different (still error-free) summation order — accuracy class is
-    identical (~eps² relative).
+    Strategy-dispatched (see :func:`sum_strategy`): the default cascade
+    streams the pair once through a sequential slab loop; the tree path
+    (GSPMD / small n) reshapes to a full-lane ``(n/g, g*m)`` layout and
+    runs the log-depth two_sum tree. All orders are error-free — the
+    accuracy class (~eps² relative) is identical; bits differ.
     """
     x = jnp.asarray(x)
     lo = jnp.zeros_like(x) if lo is None else jnp.asarray(lo)
+    n, m = x.shape
+    if _use_cascade(n):
+        return _cascade_fold(
+            lambda s, c: (_slice(x, s, c), _slice(lo, s, c)),
+            n, m, x.dtype, _CASCADE_SLAB)
+    return _tall_sum_tree(x, lo)
+
+
+def _tall_sum_tree(x, lo) -> DS:
+    """Log-depth two_sum tree on a full-lane reshaped layout.
+
+    Arrays with a narrow minor dimension (m << 128) are lane-padded
+    ~128/m-fold in VMEM tiles, so a tree walking (n, m) arrays pays that
+    bloat at every level (measured 570 ms for (10M, 4) — vs ~12 ms for
+    a full Gram). The pair is reshaped to ``(n/g, g*m)`` (g = 128/m
+    strata interleaved), the tree runs on compact rows, and the g strata
+    per column fold with an exact sequential cascade at the end.
+    """
     n, m = x.shape
     mp = 1
     while mp < m:
@@ -263,12 +361,74 @@ def dot_cols_ds(X, Y) -> DS:
     """Fully compensated per-column dots diag(X^T Y) (Dot2 quality).
 
     Unlike :func:`gram_ds` (chunked MXU — right for positive-dominant
-    Gram sums), this pays for exact elementwise products (two_prod) and a
-    full two_sum tree, so it stays accurate even under heavy cancellation
+    Gram sums), this pays for exact elementwise products (two_prod) and
+    exact summation, so it stays accurate even under heavy cancellation
     (Rayleigh numerators ``x^T (A - σB) x``, deflation overlaps). Pure
-    VPU; use on (n, k) column blocks, not wide bases.
+    VPU; use on (n, k) column blocks, not wide bases. On the cascade
+    strategy the products are formed inside the slab loop — the (n, k)
+    product/error arrays never hit HBM.
     """
+    n, k = X.shape
+    if _use_cascade(n):
+        def slab(s, c):
+            return two_prod(_slice(X, s, c), _slice(Y, s, c))
+        return _cascade_fold(slab, n, k, X.dtype, _CASCADE_SLAB)
     p, e = two_prod(X, Y)
+    return tall_sum_ds(p, lo=e)
+
+
+def weighted_dot_cols_ds(d, X, Y=None, extra_lo=None) -> DS:
+    """Fully compensated ``Σ_i d_i X_ij Y_ij`` per column (Y defaults X).
+
+    BOTH multiplications use two_prod — a plain f32 product of the
+    near-unit terms (d x)·x would round at eps*|d x²| per element, and
+    when the weighted sum dominates a Rayleigh quotient that single
+    rounding becomes an eps-relative error on the eigenvalue.
+    ``extra_lo`` adds a per-element first-order term (e.g. the x_lo
+    cross terms of a double-single iterate). Fused in-loop on the
+    cascade strategy.
+    """
+    Y = X if Y is None else Y
+    n, k = X.shape
+
+    def terms(dv, xv, yv, ev):
+        p, e = two_prod(dv[:, None], xv)
+        q, eq = two_prod(p, yv)
+        lo = eq + e * yv
+        if ev is not None:
+            lo = lo + ev
+        return q, lo
+
+    if _use_cascade(n):
+        def slab(s, c):
+            return terms(_slice(d, s, c), _slice(X, s, c),
+                         _slice(Y, s, c),
+                         None if extra_lo is None
+                         else _slice(extra_lo, s, c))
+        return _cascade_fold(slab, n, k, X.dtype, _CASCADE_SLAB)
+    q, lo = terms(d, X, Y, extra_lo)
+    return tall_sum_ds(q, lo=lo)
+
+
+def col_sumsq_pair_ds(hi, lo) -> DS:
+    """Compensated per-column ``Σ (hi+lo)²`` of a DS column block.
+
+    Evaluates ``Σ hi² + 2 Σ hi∘lo`` with the squares exact (two_prod)
+    and the cross term folded into the error channel (|lo| <= ulp(hi)
+    makes the lo² term ~eps⁴ — ignored). One fused pass on the cascade
+    strategy; the residual-norm hot path of the refined/polish loops.
+    """
+    n, k = hi.shape
+
+    def slab_terms(hs, ls):
+        p, e = two_prod(hs, hs)
+        return p, e + 2.0 * (hs * ls)
+
+    if _use_cascade(n):
+        def slab(s, c):
+            return slab_terms(_slice(hi, s, c), _slice(lo, s, c))
+        return _cascade_fold(slab, n, k, hi.dtype, _CASCADE_SLAB)
+    p, e = slab_terms(hi, lo)
     return tall_sum_ds(p, lo=e)
 
 

@@ -152,3 +152,91 @@ class TestShiftedDiagApply:
         err_naive = np.abs(naive - exact).max()
         assert err < 1e-6  # ~eps^2 * |d| * |x|
         assert err < err_naive / 100
+
+
+class TestCascadeStrategy:
+    """The streaming slab-cascade reductions (the TPU hot path: one pass,
+    no relayout — measured 43 ms -> 5 ms per (10M, 4) Dot2 on v5e) must
+    match the tree strategy's accuracy class against the f64 oracle,
+    including tails (n not a multiple of the slab) and cancellation."""
+
+    # Crosses _CASCADE_MIN_ROWS and exercises a ragged tail slab.
+    N = ds._CASCADE_MIN_ROWS + 40_961
+
+    def _xy(self, rng, k=3):
+        # Heavy cancellation: pair each entry with its near-negation.
+        x = rng.standard_normal((self.N, k))
+        y = rng.standard_normal((self.N, k))
+        h = self.N // 2
+        y[1:2 * h:2] = -y[0:2 * h:2] * (
+            1 + 1e-7 * rng.standard_normal((h, k)))
+        x[1:2 * h:2] = x[0:2 * h:2]
+        return x, y
+
+    def test_dot_cols_cascade_vs_f64(self, rng):
+        x, y = self._xy(rng)
+        want = np.sum(np.asarray(f32(x), np.float64)
+                      * np.asarray(f32(y), np.float64), axis=0)
+        with ds.sum_strategy("cascade"):
+            got = ds.dot_cols_ds(f32(x), f32(y))
+        total = np.asarray(got.hi, np.float64) + np.asarray(got.lo,
+                                                            np.float64)
+        scale = np.sum(np.abs(np.asarray(f32(x), np.float64)
+                              * np.asarray(f32(y), np.float64)), axis=0)
+        assert np.all(np.abs(total - want) < 1e-12 * scale)
+
+    def test_strategies_agree(self, rng):
+        x, y = self._xy(rng)
+        with ds.sum_strategy("cascade"):
+            a = ds.dot_cols_ds(f32(x), f32(y))
+        with ds.sum_strategy("tree"):
+            b = ds.dot_cols_ds(f32(x), f32(y))
+        av = np.asarray(a.hi, np.float64) + np.asarray(a.lo, np.float64)
+        bv = np.asarray(b.hi, np.float64) + np.asarray(b.lo, np.float64)
+        np.testing.assert_allclose(av, bv, rtol=0, atol=1e-10)
+
+    def test_weighted_dot_cols_vs_f64(self, rng):
+        k = 4
+        x = f32(rng.standard_normal((self.N, k)))
+        d = f32(rng.uniform(0.5, 2.0, self.N) * np.arange(1, self.N + 1))
+        want = np.sum(np.asarray(d, np.float64)[:, None]
+                      * np.asarray(x, np.float64) ** 2, axis=0)
+        with ds.sum_strategy("cascade"):
+            got = ds.weighted_dot_cols_ds(d, x)
+        total = np.asarray(got.hi, np.float64) + np.asarray(got.lo,
+                                                            np.float64)
+        np.testing.assert_allclose(total, want, rtol=1e-12)
+        # naive f32 for comparison must be much worse
+        naive = np.sum(np.asarray(d) [:, None]* np.asarray(x) ** 2,
+                       axis=0, dtype=np.float32)
+        assert (np.max(np.abs(total - want) / want)
+                < 1e-4 * max(np.max(np.abs(naive - want) / want), 1e-30)
+                or np.max(np.abs(naive - want) / want) < 1e-7)
+
+    def test_col_sumsq_pair_vs_f64(self, rng):
+        k = 2
+        hi = f32(rng.standard_normal((self.N, k)))
+        lo = f32(rng.standard_normal((self.N, k)) * 1e-8)
+        want = np.sum((np.asarray(hi, np.float64)
+                       + np.asarray(lo, np.float64)) ** 2, axis=0)
+        with ds.sum_strategy("cascade"):
+            got = ds.col_sumsq_pair_ds(hi, lo)
+        total = np.asarray(got.hi, np.float64) + np.asarray(got.lo,
+                                                            np.float64)
+        # lo^2 term (~1e-16 relative) is deliberately dropped.
+        np.testing.assert_allclose(total, want, rtol=1e-12)
+
+    def test_tall_sum_tail_exact(self, rng):
+        # All-ones column: the exact sum is N; cascade with a ragged
+        # tail must not drop or double-count rows.
+        x = jnp.ones((self.N, 1), jnp.float32)
+        with ds.sum_strategy("cascade"):
+            got = ds.tall_sum_ds(x)
+        total = float(np.asarray(got.hi, np.float64)
+                      + np.asarray(got.lo, np.float64))
+        assert total == float(self.N)
+
+    def test_invalid_strategy_raises(self):
+        with pytest.raises(ValueError):
+            with ds.sum_strategy("bogus"):
+                pass
