@@ -11,7 +11,7 @@ reference's hidden defaults: initial subspace ``2 * lowest``
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -105,6 +105,11 @@ class DavidsonOptions:
         columns) and damps the unwanted spectral components
         exponentially in the degree — worth it for large k or slowly
         converging spectra where collapses discard hard-won information.
+        ``"auto"`` picks the degree per collapse from the measured
+        spectral geometry (``core.chebyshev.auto_degree``: the smallest
+        degree achieving ~1e3 wanted-vs-damped amplification given the
+        current Ritz gap, capped at 12) — well-separated spectra get a
+        cheap filter, clustered ones don't burn unbounded applications.
         Standard problems only (the filter is a polynomial in A alone).
       matmul_precision: XLA matmul precision for the whole solver trace
         (``jax.default_matmul_precision``). ``None`` (default) resolves
@@ -146,7 +151,7 @@ class DavidsonOptions:
     refined: bool = False
     locking: bool = False
     matmul_precision: Optional[str] = None
-    cheb_degree: int = 0
+    cheb_degree: Union[int, str] = 0
     final_polish: int = 0
 
     def __post_init__(self):
@@ -168,8 +173,11 @@ class DavidsonOptions:
                                           "highest"),
                 InvalidOptionsError,
                 f"unknown matmul_precision {self.matmul_precision!r}")
-        require(self.cheb_degree >= 0, InvalidOptionsError,
-                "cheb_degree must be >= 0")
+        require(self.cheb_degree == "auto"
+                or (isinstance(self.cheb_degree, int)
+                    and self.cheb_degree >= 0),
+                InvalidOptionsError,
+                "cheb_degree must be a non-negative int or 'auto'")
         require(self.final_polish >= 0, InvalidOptionsError,
                 "final_polish must be >= 0")
         require(self.final_polish == 0 or self.refined, InvalidOptionsError,
@@ -205,6 +213,7 @@ class ResolvedConfig:
     # f32 solves resolve to "float32" unless the user overrode it.
     matmul_precision: Optional[str] = None
     cheb_degree: int = 0
+    cheb_auto: bool = False
     final_polish: int = 0
 
 
@@ -240,10 +249,13 @@ def subspace_cap(init_dim: int, max_dim: int, step: Optional[int] = None) -> int
 def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
                     generalized: bool) -> ResolvedConfig:
     require(1 <= lowest, InvalidOptionsError, "lowest must be >= 1")
-    require(not (opts.cheb_degree >= 2 and generalized),
+    cheb_auto = opts.cheb_degree == "auto"
+    cheb_on = cheb_auto or opts.cheb_degree >= 2
+    require(not (cheb_on and generalized),
             InvalidOptionsError,
-            "Chebyshev-filtered restarts (cheb_degree >= 2) require a "
-            "standard problem: the filter is a polynomial in A alone")
+            "Chebyshev-filtered restarts (cheb_degree >= 2 or 'auto') "
+            "require a standard problem: the filter is a polynomial in "
+            "A alone")
     require(lowest <= n, InvalidOptionsError,
             f"lowest={lowest} exceeds matrix dimension {n}")
     init_dim = opts.init_dim if opts.init_dim is not None else 2 * lowest
@@ -293,7 +305,8 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
                           ("float32"
                            if jnp.dtype(opts.dtype) == jnp.float32
                            else None)),
-        cheb_degree=int(opts.cheb_degree),
+        cheb_degree=0 if cheb_auto else int(opts.cheb_degree),
+        cheb_auto=cheb_auto,
         final_polish=int(opts.final_polish),
     )
 

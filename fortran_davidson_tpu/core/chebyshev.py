@@ -100,5 +100,36 @@ def chebyshev_filter(apply_a, X, degree: int, a, b, lower_est):
             - (sigma * sigma_new) * Xk
         return (Yk, Yn, sigma_new)
 
+    # ``degree`` may be a traced int (auto-degree mode) — fori_loop
+    # lowers to a while_loop with a dynamic trip count in that case.
     _, Y, _ = jax.lax.fori_loop(0, degree - 1, body, (X, Y, sigma1))
     return Y
+
+
+def auto_degree(wanted_lo, a, b, dtype, target: float = 1e3,
+                max_degree: int = 12):
+    """Pick the filter degree from the spectral geometry of this restart.
+
+    The scaled Chebyshev filter amplifies the wanted extreme relative to
+    the damped interval by ~``cosh(d * acosh(t))`` with
+    ``t = (c - λ_lo)/e`` (c, e = center/half-width of [a, b]); solving
+    ``cosh(d * acosh(t)) >= target`` gives the smallest useful degree
+
+        d = acosh(2 * target) / acosh(t)
+
+    (the factor 2 absorbs cosh ≈ exp/2). Clamped to [2, max_degree]:
+    well-separated problems (t >> 1) get a cheap low-degree filter,
+    clustered ones (t → 1, acosh(t) → 0) hit the cap instead of burning
+    unbounded operator applications per collapse. All inputs may be
+    traced; the result is a traced int32 for the dynamic fori_loop.
+    """
+    dt = jnp.dtype(dtype)
+    e = (b - a) / 2.0
+    c = (b + a) / 2.0
+    # Guard degenerate geometry (a ~ b or wanted inside the interval):
+    # t <= 1 + tiny => acosh ~ 0 => capped degree.
+    t = jnp.maximum((c - wanted_lo) / jnp.maximum(e, jnp.finfo(dt).tiny),
+                    jnp.asarray(1.0, dt) + jnp.finfo(dt).eps)
+    d = jnp.arccosh(jnp.asarray(2.0 * target, dt)) / jnp.arccosh(t)
+    d = jnp.ceil(d).astype(jnp.int32)
+    return jnp.clip(d, 2, max_degree)

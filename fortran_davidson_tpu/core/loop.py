@@ -76,7 +76,7 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
         AV0 = A.matmat(V0)
         BV0 = B.matmat(V0) if gen else None
         spec_ub = (chebyshev.lanczos_upper_bound(A.matmat, n, dt)
-                   if cfg.cheb_degree >= 2 else None)
+                   if (cfg.cheb_degree >= 2 or cfg.cheb_auto) else None)
     state = dict(
         V=V0,
         AV=AV0,
@@ -336,7 +336,7 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             # iterations; headroom wins.
             W2 = W[:, :init_dim]
             X2 = jnp.dot(V, W2, preferred_element_type=dt)
-            if cfg.cheb_degree >= 2 and not gen:
+            if (cfg.cheb_degree >= 2 or cfg.cheb_auto) and not gen:
                 # ChASE-style filtered restart: damp the components of
                 # the restart block lying in [first unwanted Ritz value,
                 # spectral upper bound]. The filtered block leaves the
@@ -349,8 +349,10 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                                 * (jnp.abs(a) + 1.0))
                 lo = jnp.minimum(w[0], a - jnp.asarray(1e-6, dt)
                                  * (jnp.abs(a) + 1.0))
+                degree = (chebyshev.auto_degree(lo, a, b, dt)
+                          if cfg.cheb_auto else cfg.cheb_degree)
                 X2 = chebyshev.chebyshev_filter(
-                    A.matmat, X2, cfg.cheb_degree, a, b, lo)
+                    A.matmat, X2, degree, a, b, lo)
                 Qc, Rc = orthogonal.thin_qr_collapse(X2, method=cfg.ortho,
                                                      precise=precise)
                 AQc = A.matmat(Qc)
@@ -364,8 +366,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             mn = jnp.asarray(init_dim, jnp.int32)
             okn = (jnp.arange(m_max) < init_dim).astype(dt)
             opc = op_cols
-            if cfg.cheb_degree >= 2 and not gen:
-                opc = opc + (cfg.cheb_degree + 1) * init_dim
+            if (cfg.cheb_degree >= 2 or cfg.cheb_auto) and not gen:
+                opc = opc + (degree + 1) * init_dim
             if gen:
                 BX2 = jnp.dot(BV, W2, preferred_element_type=dt)
                 BQc = orthogonal.right_tri_solve(BX2, Rc)

@@ -115,3 +115,39 @@ class TestFilteredRestarts:
             filt.subspace_dims)[:int(filt.iterations)]) < 0))
         assert int(filt.operator_columns) >= n_collapse * 7 * 6
         assert int(plain.operator_columns) > 0
+
+
+class TestAutoDegree:
+    def test_geometry_scaling(self):
+        from fortran_davidson_tpu.core.chebyshev import auto_degree
+        # Well-separated wanted extreme -> small degree; clustered -> cap.
+        d_sep = int(auto_degree(1.0, 50.0, 100.0, jnp.float64))
+        d_clu = int(auto_degree(49.9, 50.0, 100.0, jnp.float64))
+        assert 2 <= d_sep < d_clu
+        assert d_clu == 12  # cap
+        # Degenerate interval must not blow up.
+        d_deg = int(auto_degree(1.0, 50.0, 50.0, jnp.float64))
+        assert 2 <= d_deg <= 12
+
+    def test_auto_solve_matches_scipy_and_accelerates(self):
+        import jax
+        A = generate_diagonal_dominant(400, 1.0, key=jax.random.PRNGKey(3))
+        common = dict(tolerance=1e-8, max_dim_sub=12, init_dim=6,
+                      max_iterations=300)
+        plain = fdt.eigensolve(A, 4, **common)
+        auto = fdt.eigensolve(A, 4, cheb_degree="auto", **common)
+        assert bool(auto.converged)
+        want = scipy.linalg.eigh(np.asarray(A), eigvals_only=True)[:4]
+        np.testing.assert_allclose(np.asarray(auto.eigenvalues), want,
+                                   atol=1e-8)
+        assert int(auto.iterations) < 0.8 * int(plain.iterations)
+
+    def test_auto_generalized_raises(self):
+        A = generate_diagonal_dominant(40, 1e-3)
+        B = generate_diagonal_dominant(40, 1e-3, diag_val=1.0)
+        with pytest.raises(fdt.utils.errors.InvalidOptionsError):
+            fdt.eigensolve(A, 3, second_matrix=B, cheb_degree="auto")
+
+    def test_bogus_string_raises(self):
+        with pytest.raises(fdt.utils.errors.InvalidOptionsError):
+            fdt.DavidsonOptions(cheb_degree="fast")
