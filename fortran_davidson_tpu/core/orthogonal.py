@@ -183,8 +183,15 @@ def cholqr_once(X, unit_diag=None, jitter: float = 0.0,
         G = G + jitter * jnp.mean(jnp.diagonal(G)) * jnp.eye(
             G.shape[0], dtype=G.dtype)
     L = jnp.linalg.cholesky(G)
-    Qt = jax.scipy.linalg.solve_triangular(L, X.T, lower=True)
-    return Qt.T, L.T
+    # Q = X L^{-T} via an explicit m x m triangular inverse + GEMM (the
+    # standard GPU/TPU CholQR formulation) — solving against ``X.T``
+    # would transpose the whole tall block (full-array relayout, see
+    # ``_tall_gram_dot``). The inverse's extra rounding is second-order
+    # and the CholQR2 second pass cleans it up.
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(L.shape[0], dtype=L.dtype), lower=True)
+    Q = jnp.dot(X, Linv.T, preferred_element_type=X.dtype)
+    return Q, L.T
 
 
 def cholqr2(X, unit_diag=None, jitter: float = 0.0, precise: bool = False):
@@ -266,7 +273,12 @@ def thin_qr_collapse(X, method: str = "cholqr2", precise: bool = False):
 
 
 def right_tri_solve(Y, R):
-    """Compute Y @ R^{-1} for upper-triangular R (used to update caches)."""
-    # Solve X R = Y  <=>  R^T X^T = Y^T.
-    Xt = jax.scipy.linalg.solve_triangular(R.T, Y.T, lower=True)
-    return Xt.T
+    """Compute Y @ R^{-1} for upper-triangular R (used to update caches).
+
+    Uses an explicit m x m triangular inverse + GEMM instead of solving
+    against ``Y.T`` — transposing the tall block would relayout the
+    whole array (see ``_tall_gram_dot``).
+    """
+    Rinv = jax.scipy.linalg.solve_triangular(
+        R, jnp.eye(R.shape[0], dtype=R.dtype), lower=False)
+    return jnp.dot(Y, Rinv, preferred_element_type=Y.dtype)

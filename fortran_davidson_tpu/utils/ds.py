@@ -326,6 +326,18 @@ def gram_ds(V, W=None, *, chunk: Optional[int] = None) -> DS:
     combined with the exact two_sum tree. Error ~ eps * chunk / sqrt(n)
     instead of the naive ~ eps * sqrt(n). ``chunk`` is reduced to divide
     n (the default 4096 handles all power-of-two-ish padded shapes).
+
+    NOTE (TPU, measured at the 10M-row north-star shape): the
+    (n, m) -> (n/c, c, m) reshape feeding the batched einsum is a
+    physical relayout (~24 ms per (10M, 44) operand, ~60% of a refined
+    solver iteration). Every reformulation that replaces the reshape
+    with in-loop slab dots (dim-0 dot_general, barriered slices, slab
+    transposes) makes XLA layout assignment hoist a padded row-major
+    copy of the WHOLE carried basis instead (2.9-32x expansion — OOM at
+    10M rows): tall narrow f32 blocks must stay column-major on this
+    toolchain, and chunked MXU grams on them pay the relayout. See
+    docs/ROADMAP.md "Layout wall" for the full analysis and ranked
+    escape routes.
     """
     W = V if W is None else W
     n, m = V.shape
