@@ -36,6 +36,12 @@ from fortran_davidson_tpu.core import orthogonal, subspace
 from fortran_davidson_tpu.ops.operators import LinearOperator
 
 
+# Precise-path plateau exit: consecutive iterations without >= 1%
+# improvement of the worst unconverged wanted residual before the loop
+# concludes it has hit the f32-basis floor (see init_state).
+_PLATEAU_ITERS = 10
+
+
 def _precision_ctx(cfg: ResolvedConfig):
     """Matmul-precision context for everything traced inside the solver.
 
@@ -96,6 +102,19 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
     )
     if gen:
         state["BV"] = BV0
+    if cfg.refined and not gen:
+        # Residual-plateau tracking (precise path only): at scale the
+        # f32-stored basis floors the attainable in-loop residual
+        # (~3.5e-5 absolute at 10M rows) far above 1e-8-grade
+        # tolerances; once the worst wanted residual stops improving,
+        # the loop is grinding noise. Track the best worst-pair
+        # residual and exit after _PLATEAU_ITERS non-improving
+        # iterations (``final_polish`` then closes the gap and
+        # re-checks convergence against TRUE residuals). A safety net
+        # behind the expand step's zero-admitted-columns stall exit,
+        # whose trigger depends on noise-gate specifics.
+        state["best_err"] = jnp.asarray(jnp.inf, dt)
+        state["no_prog"] = jnp.asarray(0, jnp.int32)
     if spec_ub is not None:
         state["spec_ub"] = spec_ub
     if constrain is not None:
@@ -241,7 +260,7 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                    else (V, AV, BV, m, col_ok, op_cols))
             return out
 
-        def expand(_):
+        def new_block():
             # The correction block has kk columns (k for lowest-k,
             # m_max for doubling).
             corr_mask = pmk
@@ -272,6 +291,27 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 V, corr, corr_mask, n_reorth=cfg.n_reorth, method=cfg.ortho,
                 precise=precise)
             AQ = A.matmat(Q)
+            return Q, AQ, alive_q
+
+        # Hoist the new-block computation OUT of the expand cond branch
+        # for the refined standard path with cheap (non-Krylov)
+        # corrections: the CGS projection's compensated Gram then sits
+        # in the same scope as the Rayleigh-Ritz Gram, so XLA CSEs
+        # their shared (n, m_max) relayout of V (measured 24 ms per
+        # iteration at the 10M north star — reads of tall carries
+        # inside a cond branch cannot CSE across the branch boundary
+        # and would otherwise relayout V a second time). Collapse
+        # iterations (1-in-log) waste the block; identical values
+        # either way, so trajectories are bit-unchanged.
+        hoist = (precise and not gen
+                 and cfg.method in ("DPR", "OLSEN"))
+        hoisted = new_block() if hoist else None
+
+        def expand(_):
+            if hoist:
+                Q, AQ, alive_q = hoisted
+            else:
+                Q, AQ, alive_q = new_block()
             if precise:
                 # Spectral noise gate (second line of defense behind the
                 # SVQB noise-floor threshold): a whitened junk direction
@@ -402,6 +442,15 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             history=history, dims=dims, op_cols=opc,
             stalled=stalled,
         )
+        if precise and not gen:
+            # Plateau detection (see init_state): converged pairs are
+            # excluded via has_conv so sticky semantics still win.
+            worst = jnp.max(jnp.where(has_conv, 0.0, errors))
+            improved = worst < st["best_err"] * (1.0 - 1e-2)
+            out["best_err"] = jnp.minimum(st["best_err"], worst)
+            no_prog = jnp.where(improved, 0, st["no_prog"] + 1)
+            out["no_prog"] = no_prog
+            out["stalled"] = out["stalled"] | (no_prog >= _PLATEAU_ITERS)
         if gen:
             out["BV"] = BVn
         if "spec_ub" in st:
