@@ -133,3 +133,48 @@ class TestConfigFingerprint:
         res = fdt.eigensolve_checkpointed(A, 2, d, every=2, tolerance=1e-8,
                                           max_iterations=40)
         assert bool(res.converged)
+
+
+class TestRefinedCheckpoint:
+    """The refined path's extra state (plateau tracker best_err/no_prog)
+    must survive save/resume, and the in-solve final polish must run on
+    the chunked/checkpointed driver exactly as on the one-shot engine."""
+
+    def _solve(self, A32, path=None, **kw):
+        common = dict(method="DPR", tolerance=1e-7, dtype="float32",
+                      refined=True, final_polish=2, max_iterations=120)
+        common.update(kw)
+        if path is None:
+            return fdt.eigensolve(A32, 3, **common)
+        return eigensolve_checkpointed(A32, 3, path, every=2, **common)
+
+    def test_refined_resume_matches_uninterrupted(self, tmp_path):
+        import jax.numpy as jnp
+        A = generate_diagonal_dominant(150, 1e-3)
+        A32 = jnp.asarray(np.asarray(A), jnp.float32)
+        ref = self._solve(A32)
+
+        class Crash(RuntimeError):
+            pass
+
+        calls = []
+
+        def crash_once(state):
+            calls.append(1)
+            if len(calls) == 1:
+                raise Crash
+
+        with pytest.raises(Crash):
+            eigensolve_checkpointed(A32, 3, str(tmp_path), every=2,
+                                    method="DPR", tolerance=1e-7,
+                                    dtype="float32", refined=True,
+                                    final_polish=2, max_iterations=120,
+                                    callbacks=(crash_once,))
+        assert latest_step(tmp_path) >= 1
+        res = self._solve(A32, path=str(tmp_path))
+        assert bool(res.converged)
+        assert int(res.iterations) == int(ref.iterations)
+        np.testing.assert_array_equal(np.asarray(res.eigenvalues),
+                                      np.asarray(ref.eigenvalues))
+        # The polish ran: true residuals below the f32 one-shot floor.
+        assert float(np.max(np.asarray(res.residual_norms))) < 1e-7
