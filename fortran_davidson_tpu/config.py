@@ -332,6 +332,12 @@ class DavidsonResult:
     subspace_dims: jnp.ndarray        # (max_iterations,); 0 after exit
     operator_columns: jnp.ndarray = None  # scalar int: live columns A was
     #   applied to across the solve (the work metric locking reduces)
+    stalled: jnp.ndarray = None       # scalar bool: the refined loop hit
+    #   its attainable floor (zero admitted correction columns, or no
+    #   residual improvement for core.loop._PLATEAU_ITERS iterations)
+    #   and exited early; with ``final_polish`` the polish may still
+    #   report converged=True against TRUE residuals. Distinguishes
+    #   "floor reached" from plain running-out-of-iterations.
 
     def block_until_ready(self):
         self.eigenvalues.block_until_ready()
@@ -341,7 +347,7 @@ class DavidsonResult:
 def result_flatten(res: DavidsonResult):
     return (res.eigenvalues, res.eigenvectors, res.iterations, res.converged,
             res.converged_pairs, res.residual_norms, res.residual_history,
-            res.subspace_dims, res.operator_columns), None
+            res.subspace_dims, res.operator_columns, res.stalled), None
 
 
 def result_unflatten(aux, children):

@@ -477,6 +477,7 @@ def pack_result(final: dict) -> DavidsonResult:
         residual_history=final["history"],
         subspace_dims=final["dims"],
         operator_columns=final["op_cols"],
+        stalled=final.get("stalled"),
     )
 
 
@@ -532,6 +533,7 @@ def _apply_final_polish(cfg: ResolvedConfig, A: LinearOperator,
         # hi+lo both pass through A_off once per polish iteration.
         operator_columns=res.operator_columns
         + 2 * cfg.final_polish * cfg.lowest,
+        stalled=res.stalled,
     )
 
 

@@ -102,3 +102,24 @@ class TestFinalPolish:
                              refined=True, final_polish=2)
         assert (int(pol.operator_columns)
                 >= int(base.operator_columns) + 2 * 2 * 4)
+
+
+class TestStalledReporting:
+    def test_stalled_flag_surfaces(self, op_1m):
+        # The stall exit (noise-gate fixed point or plateau) must be
+        # visible on the result, distinguishing "floor reached" from
+        # running out of iterations.
+        res = fdt.eigensolve(op_1m, 4, method="DPR", tolerance=1e-9,
+                             relative_tolerance=True, max_iterations=60,
+                             dtype="float32", expansion="lowest-k",
+                             refined=True)
+        assert int(res.iterations) < 60
+        assert bool(res.stalled)
+
+    def test_unstalled_f64_has_flag_false(self):
+        from fortran_davidson_tpu.models.generators import \
+            generate_diagonal_dominant
+        A = generate_diagonal_dominant(60, 1e-3)
+        res = fdt.eigensolve(A, 3, tolerance=1e-8)
+        assert bool(res.converged)
+        assert not bool(res.stalled)
