@@ -161,4 +161,11 @@ def eigensolve_sharded(matrix, lowest: int, mesh: Mesh, second_matrix=None,
     cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None)
     engine = get_engine(cfg, constrain=RowShardConstraint(mesh, axis))
     with mesh:
+        if cfg.refined:
+            # The refined path needs the off-diagonal splits (compensated
+            # true residuals; see solver.eigensolve). The splits derive
+            # from the already-sharded operator arrays, so their row
+            # placement carries over.
+            return engine(A, B, A.offdiag(),
+                          B.offdiag() if B is not None else None)
         return engine(A, B)

@@ -226,3 +226,35 @@ class TestRemoteHaloPallas:
         assert bool(res.converged)
         np.testing.assert_allclose(np.asarray(res.eigenvalues),
                                    np.asarray(ref.eigenvalues), atol=1e-4)
+
+
+class TestShardedRefined:
+    """refined=True through the GSPMD engine: the sharded path must pass
+    the off-diagonal splits (it crashed without them) and trace the
+    tall compensated reductions with the tree strategy (the cascade's
+    dynamic row slices would gather across shards)."""
+
+    def test_refined_sharded_matches_single_device(self, mesh):
+        n, k = 100_096, 4
+        op = surrogate_hamiltonian(n, dtype=jnp.float32)
+        common = dict(method="DPR", tolerance=1e-6,
+                      relative_tolerance=True, max_iterations=40,
+                      dtype="float32", expansion="lowest-k", refined=True)
+        ref = fdt.eigensolve(op, k, **common)
+        res = eigensolve_sharded(op, k, mesh, **common)
+        res.block_until_ready()
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                                   np.asarray(ref.eigenvalues), atol=1e-5)
+        assert float(np.max(np.asarray(res.residual_norms))) < 1e-5
+
+    def test_refined_sharded_banded_with_polish(self, mesh):
+        bsr = generate_banded_bsr(64, 16, bandwidth=1, coupling=1e-3,
+                                  dtype=jnp.float32)
+        res = eigensolve_sharded(bsr, 3, mesh, method="DPR",
+                                 tolerance=1e-6, dtype="float32",
+                                 refined=True, final_polish=2,
+                                 max_iterations=200)
+        res.block_until_ready()
+        assert bool(res.converged)
+        assert float(np.max(np.asarray(res.residual_norms))) < 1e-6
