@@ -73,3 +73,52 @@ def test_random_banded_f32(seed):
         expected = scipy.linalg.eigh(
             np.asarray(op.to_dense(), np.float64), eigvals_only=True)[:3]
         np.testing.assert_allclose(vals, expected, atol=1e-3)
+
+
+def _feature_cases():
+    """Random sweeps over the beyond-reference feature surface: refined,
+    final_polish, locking, Chebyshev (fixed/auto), OLSEN, plateau/stall
+    interplay — same contract: converge to scipy's answer or report
+    clean non-convergence/stall, never NaN, never a lie."""
+    rng = np.random.default_rng(1234)
+    cases = []
+    for i in range(10):
+        n = int(rng.integers(60, 260))
+        k = int(rng.integers(1, 5))
+        method = str(rng.choice(["DPR", "OLSEN", "GJD"]))
+        refined = bool(rng.integers(0, 2))
+        polish = int(rng.integers(0, 3)) if refined else 0
+        locking = bool(rng.integers(0, 2))
+        cheb = rng.choice([0, 4, "auto"])
+        cheb = int(cheb) if cheb != "auto" else "auto"
+        dtype = str(rng.choice(["float64", "float32"]))
+        expansion = str(rng.choice(["doubling", "lowest-k"]))
+        cases.append((i, n, k, method, refined, polish, locking, cheb,
+                      dtype, expansion))
+    return cases
+
+
+@pytest.mark.parametrize(
+    "seed,n,k,method,refined,polish,locking,cheb,dtype,expansion",
+    _feature_cases())
+def test_random_feature_combo(seed, n, k, method, refined, polish,
+                              locking, cheb, dtype, expansion):
+    A = generate_diagonal_dominant(n, 1e-3, key=jax.random.PRNGKey(seed))
+    if dtype == "float32":
+        A = jnp.asarray(np.asarray(A), jnp.float32)
+    tol = 1e-8 if dtype == "float64" else 1e-5
+    res = fdt.eigensolve(A, k, method=method, tolerance=tol,
+                         max_iterations=400, dtype=dtype,
+                         expansion=expansion, refined=refined,
+                         final_polish=polish, locking=locking,
+                         cheb_degree=cheb)
+    res.block_until_ready()
+    vals = np.asarray(res.eigenvalues)
+    assert np.all(np.isfinite(vals)), "NaN/Inf eigenvalues"
+    assert np.all(np.isfinite(np.asarray(res.residual_norms)))
+    if bool(res.converged):
+        expected = scipy.linalg.eigh(np.asarray(A, np.float64),
+                                     eigvals_only=True)[:k]
+        np.testing.assert_allclose(vals, expected,
+                                   atol=1e-7 if dtype == "float64"
+                                   else 5e-4)
