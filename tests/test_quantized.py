@@ -170,3 +170,22 @@ class TestQuantizeBandedInt8:
                                  eigvals_only=True)[:2]
         np.testing.assert_allclose(np.asarray(res.eigenvalues), want,
                                    atol=1e-4)
+
+
+class TestQuantizedRefined:
+    def test_refined_polish_on_quantized(self):
+        # The refined path's off-diagonal split must exist for the int8
+        # operator and its TRUE residuals are measured against the
+        # QUANTIZED operator (the one actually being solved).
+        import jax.numpy as jnp
+
+        from fortran_davidson_tpu.ops.sparse import (generate_banded_bsr,
+                                                     quantize_banded_int8)
+        bsr = generate_banded_bsr(64, 16, bandwidth=1, coupling=1e-3,
+                                  dtype=jnp.float32)
+        q = quantize_banded_int8(bsr)
+        r = fdt.eigensolve(q, 3, tolerance=1e-5, dtype="float32",
+                           refined=True, final_polish=2,
+                           max_iterations=200)
+        assert bool(r.converged)
+        assert float(np.max(np.asarray(r.residual_norms))) < 1e-8
