@@ -184,6 +184,7 @@ class TestQuantizedRefined:
         bsr = generate_banded_bsr(64, 16, bandwidth=1, coupling=1e-3,
                                   dtype=jnp.float32)
         q = quantize_banded_int8(bsr)
+        import fortran_davidson_tpu as fdt
         r = fdt.eigensolve(q, 3, tolerance=1e-5, dtype="float32",
                            refined=True, final_polish=2,
                            max_iterations=200)
