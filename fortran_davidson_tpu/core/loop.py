@@ -60,13 +60,17 @@ def _precision_ctx(cfg: ResolvedConfig):
 
 
 def init_state(cfg: ResolvedConfig, A: LinearOperator,
-               B: Optional[LinearOperator], constrain=None) -> dict:
+               B: Optional[LinearOperator], constrain=None,
+               X0=None) -> dict:
     """Initial loop state (a checkpointable pytree of arrays).
 
     ``chunk_end`` bounds how far a single ``run_state`` call iterates —
     ``max_iterations`` for a one-shot solve, smaller for the chunked
     driver that interleaves checkpointing/callbacks (see
     :func:`run_chunked`).
+
+    ``X0``: optional (n, j) warm-start vectors, j <= init_dim — see
+    ``subspace.initial_subspace_with_guess``.
     """
     n = A.shape[0]
     k = cfg.lowest
@@ -77,7 +81,14 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
 
     diag_a = A.diagonal().astype(dt)
 
-    V0 = subspace.initial_subspace(diag_a, init_dim, m_max)
+    if X0 is None:
+        V0 = subspace.initial_subspace(diag_a, init_dim, m_max)
+        ok0 = (jnp.arange(m_max) < init_dim).astype(dt)
+        m0 = jnp.asarray(init_dim, jnp.int32)
+    else:
+        with _precision_ctx(cfg):
+            V0, ok0, m0 = subspace.initial_subspace_with_guess(
+                diag_a, X0, init_dim, m_max, precise=cfg.refined)
     with _precision_ctx(cfg):
         AV0 = A.matmat(V0)
         BV0 = B.matmat(V0) if gen else None
@@ -86,8 +97,8 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
     state = dict(
         V=V0,
         AV=AV0,
-        m=jnp.asarray(init_dim, jnp.int32),
-        col_ok=(jnp.arange(m_max) < init_dim).astype(dt),
+        m=m0,
+        col_ok=ok0,
         it=jnp.asarray(0, jnp.int32),
         chunk_end=jnp.asarray(cfg.max_iterations, jnp.int32),
         has_conv=jnp.zeros((k,), bool),
@@ -97,7 +108,7 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
         errors=jnp.full((k,), jnp.inf, dt),
         history=jnp.full((cfg.max_iterations, k), jnp.nan, dt),
         dims=jnp.zeros((cfg.max_iterations,), jnp.int32),
-        op_cols=jnp.asarray(init_dim, jnp.int32),
+        op_cols=m0,
         stalled=jnp.asarray(False),
     )
     if gen:
@@ -539,9 +550,10 @@ def _apply_final_polish(cfg: ResolvedConfig, A: LinearOperator,
 
 def _engine(cfg: ResolvedConfig, A: LinearOperator,
             B: Optional[LinearOperator],
-            constrain=None, A_off=None, B_off=None) -> DavidsonResult:
+            constrain=None, A_off=None, B_off=None,
+            X0=None) -> DavidsonResult:
     with _ds_strategy(constrain):
-        state = init_state(cfg, A, B, constrain=constrain)
+        state = init_state(cfg, A, B, constrain=constrain, X0=X0)
         final = run_state(cfg, A, B, state, constrain=constrain,
                           A_off=A_off, B_off=B_off)
         res = pack_result(final)
@@ -566,9 +578,9 @@ def get_engine(cfg: ResolvedConfig, constrain=None):
     key = (cfg, constrain)
     fn = _ENGINE_CACHE.get(key)
     if fn is None:
-        def run(A, B, A_off=None, B_off=None):
+        def run(A, B, A_off=None, B_off=None, X0=None):
             return _engine(cfg, A, B, constrain=constrain,
-                           A_off=A_off, B_off=B_off)
+                           A_off=A_off, B_off=B_off, X0=X0)
         fn = jax.jit(run)
         _ENGINE_CACHE[key] = fn
     return fn

@@ -42,6 +42,38 @@ def initial_subspace(diag, m_init: int, m_max: int):
     return V
 
 
+def initial_subspace_with_guess(diag, X0, m_init: int, m_max: int,
+                                precise: bool = False):
+    """Warm-started initial basis: user vectors + preconditioner fill.
+
+    ``X0`` (n, j), j <= m_init (static width): the caller's approximate
+    eigenvectors — e.g. the previous solve of a slowly varying operator
+    (the production warm-start pattern; the reference has no analogue).
+    The remaining ``m_init - j`` columns come from the canonical
+    preconditioner basis (:func:`initial_subspace`), and the combined
+    block is SVQB-orthonormalized — near-duplicate or rank-deficient
+    guesses lose their redundant directions instead of poisoning the
+    basis (drops are handled by the loop's column accounting).
+
+    Returns ``(V0, col_ok, m0)``: the padded basis, its live-column
+    mask, and the (traced) live count.
+    """
+    from fortran_davidson_tpu.core import orthogonal
+
+    n = diag.shape[0]
+    j = X0.shape[1]
+    C = jnp.zeros((n, m_init), diag.dtype)
+    C = C.at[:, :j].set(X0.astype(diag.dtype))
+    if m_init > j:
+        fill = initial_subspace(diag, m_init - j, m_init - j)
+        C = C.at[:, j:].set(fill)
+    Q, alive = orthogonal.svqb(C, jnp.ones((m_init,), diag.dtype),
+                               return_alive=True, precise=precise)
+    V0 = jnp.zeros((n, m_max), diag.dtype).at[:, :m_init].set(Q)
+    col_ok = jnp.zeros((m_max,), diag.dtype).at[:m_init].set(alive)
+    return V0, col_ok, jnp.sum(alive).astype(jnp.int32)
+
+
 def project(V, AV, precise: bool = False):
     """Projected (Gram) matrix H = V^T (A V) on the padded basis.
 

@@ -30,6 +30,7 @@ from fortran_davidson_tpu.utils.errors import OperatorError, require
 
 def eigensolve(matrix, lowest: int, second_matrix=None,
                options: Optional[DavidsonOptions] = None,
+               initial_vectors=None,
                **overrides) -> DavidsonResult:
     """Compute the lowest-k eigenpairs of a (generalized) symmetric problem.
 
@@ -41,6 +42,14 @@ def eigensolve(matrix, lowest: int, second_matrix=None,
         (same accepted types). ``None`` selects the standard problem.
       options: DavidsonOptions; keyword overrides are applied on top, e.g.
         ``eigensolve(A, 3, method="GJD", tolerance=1e-6)``.
+      initial_vectors: optional (n, j) warm-start block, ``j <= init_dim``
+        (default init_dim = 2*lowest) — e.g. the eigenvectors of a
+        previous solve of a slowly varying operator (the production
+        repeated-solve pattern; the reference has no analogue,
+        ``src/array_utils.f90:136-160`` always starts from unit
+        vectors). The block is SVQB-orthonormalized together with the
+        canonical preconditioner fill; redundant/rank-deficient guesses
+        degrade gracefully to the cold start.
 
     Returns:
       DavidsonResult.
@@ -56,13 +65,24 @@ def eigensolve(matrix, lowest: int, second_matrix=None,
                 f"B shape {B.shape} does not match A shape {A.shape}")
 
     cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None)
+    X0 = None
+    if initial_vectors is not None:
+        X0 = jnp.asarray(initial_vectors, dt)
+        require(X0.ndim == 2 and X0.shape[0] == A.shape[0],
+                OperatorError,
+                f"initial_vectors must be (n, j) with n={A.shape[0]}; "
+                f"got {X0.shape}")
+        require(1 <= X0.shape[1] <= cfg.init_dim, OperatorError,
+                f"initial_vectors: j={X0.shape[1]} must be in "
+                f"[1, init_dim={cfg.init_dim}]")
     engine = get_engine(cfg)
     if cfg.refined:
         # High-precision path: the engine additionally receives the
         # off-diagonal splits (structural for sparse formats — see
         # LinearOperator.offdiag) used for compensated true residuals.
-        return engine(A, B, A.offdiag(), B.offdiag() if B else None)
-    return engine(A, B)
+        return engine(A, B, A.offdiag(), B.offdiag() if B else None,
+                      X0=X0)
+    return engine(A, B, X0=X0)
 
 
 def polish_eigenpairs(matrix, result: DavidsonResult, iterations: int = 3,

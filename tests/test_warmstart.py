@@ -1,0 +1,105 @@
+"""Warm-started solves (``initial_vectors=``) — the production
+repeated-solve pattern. The reference always cold-starts from unit
+vectors (``src/array_utils.f90:136-160``); warm starting from a previous
+solve's eigenvectors must cut iterations and never break correctness.
+"""
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+import jax
+import jax.numpy as jnp
+
+import fortran_davidson_tpu as fdt
+from fortran_davidson_tpu.models.generators import \
+    generate_diagonal_dominant
+from fortran_davidson_tpu.utils.errors import OperatorError
+
+
+@pytest.fixture(scope="module")
+def hard_problem():
+    # Weakly diagonal-dominant: cold start needs many iterations.
+    A = generate_diagonal_dominant(300, 1.0, key=jax.random.PRNGKey(5))
+    cold = fdt.eigensolve(A, 4, tolerance=1e-8, max_iterations=400)
+    assert bool(cold.converged)
+    return A, cold
+
+
+class TestWarmStart:
+    def test_exact_eigenvectors_converge_immediately(self, hard_problem):
+        A, cold = hard_problem
+        res = fdt.eigensolve(A, 4, tolerance=1e-8, max_iterations=400,
+                             initial_vectors=cold.eigenvectors)
+        assert bool(res.converged)
+        assert int(res.iterations) <= 2
+        np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                                   np.asarray(cold.eigenvalues),
+                                   atol=1e-9)
+
+    def test_perturbed_guess_never_hurts(self, hard_problem):
+        # A modest perturbation of the answer: at least as fast as cold
+        # (iteration counts are schedule-driven, so the guarantee is
+        # "never worse + correct", not a fixed speedup) and converging
+        # to scipy's answer.
+        A, cold = hard_problem
+        rng = np.random.default_rng(0)
+        X0 = (np.asarray(cold.eigenvectors)
+              + 1e-3 * rng.standard_normal((300, 4)))
+        res = fdt.eigensolve(A, 4, tolerance=1e-8, max_iterations=400,
+                             initial_vectors=X0)
+        assert bool(res.converged)
+        assert int(res.iterations) <= int(cold.iterations)
+        want = scipy.linalg.eigh(np.asarray(A), eigvals_only=True)[:4]
+        np.testing.assert_allclose(np.asarray(res.eigenvalues), want,
+                                   atol=1e-8)
+
+    def test_rank_deficient_guess_degrades_gracefully(self, hard_problem):
+        A, cold = hard_problem
+        v = np.asarray(cold.eigenvectors)[:, :1]
+        X0 = np.concatenate([v, v, v], axis=1)  # rank 1, j=3
+        res = fdt.eigensolve(A, 4, tolerance=1e-8, max_iterations=400,
+                             initial_vectors=X0)
+        assert bool(res.converged)
+        want = scipy.linalg.eigh(np.asarray(A), eigvals_only=True)[:4]
+        np.testing.assert_allclose(np.asarray(res.eigenvalues), want,
+                                   atol=1e-8)
+
+    def test_progressive_refinement_pattern(self):
+        # The realistic production pattern: a cheap loose solve feeds a
+        # tight refined solve — the warm-started refined solve must beat
+        # the cold refined solve.
+        from fortran_davidson_tpu.models.generators import \
+            surrogate_hamiltonian
+        op = surrogate_hamiltonian(100_096, dtype=jnp.float32)
+        loose = fdt.eigensolve(op, 4, method="DPR", tolerance=1e-4,
+                               relative_tolerance=True,
+                               max_iterations=40, dtype="float32",
+                               expansion="lowest-k")
+        assert bool(loose.converged)
+        common = dict(method="DPR", tolerance=1e-8, max_iterations=60,
+                      dtype="float32", expansion="lowest-k",
+                      refined=True, final_polish=2)
+        cold = fdt.eigensolve(op, 4, **common)
+        warm = fdt.eigensolve(op, 4,
+                              initial_vectors=loose.eigenvectors,
+                              **common)
+        assert bool(warm.converged)
+        assert int(warm.iterations) < int(cold.iterations)
+        assert float(np.max(np.asarray(warm.residual_norms))) < 1e-8
+
+    def test_validation(self, hard_problem):
+        A, cold = hard_problem
+        with pytest.raises(OperatorError):
+            fdt.eigensolve(A, 4, initial_vectors=np.ones((299, 2)))
+        with pytest.raises(OperatorError):
+            # j > init_dim (= 8 for lowest=4)
+            fdt.eigensolve(A, 4, initial_vectors=np.ones((300, 9)))
+
+    def test_iteration_parity_unaffected_without_guess(self, hard_problem):
+        # The cold path must be bit-unchanged by the feature's existence.
+        A, cold = hard_problem
+        again = fdt.eigensolve(A, 4, tolerance=1e-8, max_iterations=400)
+        assert int(again.iterations) == int(cold.iterations)
+        np.testing.assert_array_equal(np.asarray(again.eigenvalues),
+                                      np.asarray(cold.eigenvalues))
