@@ -72,6 +72,8 @@ def _cmd_solve(args) -> int:
               max_iterations=args.max_iterations, dtype=args.dtype,
               relative_tolerance=args.relative_tolerance,
               refined=args.refined, final_polish=args.final_polish)
+    if args.initial_vectors:
+        kw["initial_vectors"] = np.load(args.initial_vectors)
     if args.max_dim_sub:
         kw["max_dim_sub"] = args.max_dim_sub
     if args.sharded:
@@ -132,6 +134,9 @@ def main(argv=None) -> int:
                     help="save eigenvectors to this .npy file")
     ps.add_argument("--platform", choices=["cpu", "tpu"],
                     help="force a jax platform (float64 needs cpu)")
+    ps.add_argument("--initial-vectors", metavar="X0.npy",
+                    help="warm-start block from a previous solve "
+                    "(see --eigenvectors)")
 
     for name, mod in [("demo", "demo"), ("benchmark", "benchmark_free"),
                       ("northstar", "northstar")]:

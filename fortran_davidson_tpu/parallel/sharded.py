@@ -25,6 +25,7 @@ import dataclasses
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fortran_davidson_tpu.config import (DavidsonOptions, DavidsonResult,
@@ -141,11 +142,14 @@ def shard_operator(op: LinearOperator, mesh: Mesh,
 def eigensolve_sharded(matrix, lowest: int, mesh: Mesh, second_matrix=None,
                        axis: str = ROWS_AXIS,
                        options: Optional[DavidsonOptions] = None,
+                       initial_vectors=None,
                        **overrides) -> DavidsonResult:
     """Row-sharded multi-chip Davidson solve.
 
-    Same contract as :func:`fortran_davidson_tpu.solver.eigensolve`, with
-    the operator and the solver's tall state distributed over ``mesh``.
+    Same contract as :func:`fortran_davidson_tpu.solver.eigensolve`
+    (including ``initial_vectors`` warm starts — the block is placed
+    row-sharded like the basis), with the operator and the solver's tall
+    state distributed over ``mesh``.
     """
     opts = merge_options(options, overrides)
     dt = canonical_dtype(opts.dtype)
@@ -159,6 +163,18 @@ def eigensolve_sharded(matrix, lowest: int, mesh: Mesh, second_matrix=None,
                 f"B shape {B.shape} does not match A shape {A.shape}")
 
     cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None)
+    X0 = None
+    if initial_vectors is not None:
+        X0 = jnp.asarray(initial_vectors, dt)
+        require(X0.ndim == 2 and X0.shape[0] == A.shape[0],
+                OperatorError,
+                f"initial_vectors must be (n, j) with n={A.shape[0]}; "
+                f"got {X0.shape}")
+        require(1 <= X0.shape[1] <= cfg.init_dim, OperatorError,
+                f"initial_vectors: j={X0.shape[1]} must be in "
+                f"[1, init_dim={cfg.init_dim}]")
+        X0 = jax.device_put(
+            X0, NamedSharding(mesh, P(axis, None)))
     engine = get_engine(cfg, constrain=RowShardConstraint(mesh, axis))
     with mesh:
         if cfg.refined:
@@ -167,5 +183,5 @@ def eigensolve_sharded(matrix, lowest: int, mesh: Mesh, second_matrix=None,
             # from the already-sharded operator arrays, so their row
             # placement carries over.
             return engine(A, B, A.offdiag(),
-                          B.offdiag() if B is not None else None)
-        return engine(A, B)
+                          B.offdiag() if B is not None else None, X0=X0)
+        return engine(A, B, X0=X0)

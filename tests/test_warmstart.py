@@ -103,3 +103,19 @@ class TestWarmStart:
         assert int(again.iterations) == int(cold.iterations)
         np.testing.assert_array_equal(np.asarray(again.eigenvalues),
                                       np.asarray(cold.eigenvalues))
+
+
+class TestShardedWarmStart:
+    def test_sharded_exact_guess(self):
+        from fortran_davidson_tpu.parallel import (default_mesh,
+                                                   eigensolve_sharded)
+        mesh = default_mesh(8)
+        A = generate_diagonal_dominant(128, 1e-3)
+        cold = eigensolve_sharded(A, 3, mesh, tolerance=1e-8)
+        warm = eigensolve_sharded(A, 3, mesh, tolerance=1e-8,
+                                  initial_vectors=cold.eigenvectors)
+        assert bool(warm.converged)
+        assert int(warm.iterations) <= 2
+        np.testing.assert_allclose(np.asarray(warm.eigenvalues),
+                                   np.asarray(cold.eigenvalues),
+                                   atol=1e-10)
