@@ -128,8 +128,15 @@ def generalized_eigensolver(matrix, lowest: int, method: str = "DPR",
                      **overrides)
     res.block_until_ready()
     if not bool(res.converged):
+        hint = ""
+        if (jnp.dtype(res.eigenvalues.dtype) == jnp.float32
+                and not overrides.get("refined")
+                and tolerance < 1e-5):
+            hint = (" — float32 residuals floor at ~sqrt(n)*eps*||A||; "
+                    "for tighter tolerances use refined=True (+"
+                    "final_polish) or relative_tolerance=True")
         warnings.warn("Davidson algorithm did not converge "
                       f"within {max_iterations} iterations "
-                      f"(residuals: {res.residual_norms})",
+                      f"(residuals: {res.residual_norms}){hint}",
                       RuntimeWarning, stacklevel=2)
     return res
