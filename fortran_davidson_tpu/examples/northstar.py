@@ -59,8 +59,17 @@ def main(argv=None) -> int:
                         "true residuals — the 10M-to-1e-8 north star is "
                         "`--refined --final-polish 3 --tolerance 1e-8 "
                         "--expansion lowest-k` (measured: converged, "
-                        "7.3 s warm on one v5e chip)")
+                        "2.37 s warm on one v5e chip)")
+    parser.add_argument("--progressive", action="store_true",
+                        help="two-stage pipeline: a cheap plain-f32 "
+                        "solve to its residual floor warm-starts the "
+                        "refined solve (fastest 10M-to-1e-8 recipe: "
+                        "1.37 s warm vs 2.37 s cold refined; implies "
+                        "--refined)")
     args = parser.parse_args(argv)
+    if args.progressive:
+        args.refined = True
+        args.final_polish = max(args.final_polish, 3)
 
     import jax
     import jax.numpy as jnp
@@ -87,6 +96,9 @@ def main(argv=None) -> int:
                   relative_tolerance=True, expansion=args.expansion,
                   refined=args.refined, final_polish=args.final_polish)
 
+    loose = dict(common, tolerance=max(args.tolerance, 1e-3),
+                 refined=False, final_polish=0, max_iterations=30)
+
     if args.sharded:
         from fortran_davidson_tpu.parallel import (default_mesh,
                                                    eigensolve_sharded)
@@ -94,9 +106,19 @@ def main(argv=None) -> int:
         print(f"mesh: {mesh.shape}")
 
         def run():
+            if args.progressive:
+                l = eigensolve_sharded(op, args.lowest, mesh, **loose)
+                return eigensolve_sharded(
+                    op, args.lowest, mesh,
+                    initial_vectors=l.eigenvectors, **common)
             return eigensolve_sharded(op, args.lowest, mesh, **common)
     else:
         def run():
+            if args.progressive:
+                l = eigensolve(op, args.lowest, **loose)
+                return eigensolve(op, args.lowest,
+                                  initial_vectors=l.eigenvectors,
+                                  **common)
             return eigensolve(op, args.lowest, **common)
 
     t0 = time.perf_counter()
