@@ -290,8 +290,33 @@ def bench_davidson_solve():
     iters = int(res.iterations)
     vals = [float(v) for v in res.eigenvalues]
     dt = time.perf_counter() - t0
-    return dict(n=n, wall_s=dt, iterations=iters,
-                converged=bool(res.converged), eigenvalues=vals)
+    out = dict(n=n, wall_s=dt, iterations=iters,
+               converged=bool(res.converged), eigenvalues=vals)
+
+    # Honest 1e-8: the progressive recipe (plain solve above warm-starts
+    # the double-single refined solve; convergence re-checked against
+    # TRUE residuals by the in-solve polish).
+    try:
+        def run_ref():
+            return eigensolve(op, 3, method="DPR", tolerance=1e-8,
+                              relative_tolerance=True, max_iterations=60,
+                              dtype="float32", expansion="lowest-k",
+                              refined=True, final_polish=3,
+                              initial_vectors=res.eigenvectors)
+        r = run_ref()
+        ri = int(r.iterations)
+        t0 = time.perf_counter()
+        r = run_ref()
+        ri = int(r.iterations)
+        rdt = time.perf_counter() - t0
+        import numpy as _np
+        out["progressive_1e8"] = dict(
+            wall_s=rdt, iterations=ri, converged=bool(r.converged),
+            max_true_residual=float(_np.max(_np.asarray(
+                r.residual_norms))))
+    except Exception as e:
+        out["progressive_1e8"] = {"error": str(e)[:200]}
+    return out
 
 
 def main():
