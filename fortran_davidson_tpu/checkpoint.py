@@ -122,7 +122,7 @@ def eigensolve_checkpointed(matrix, lowest: int, directory: str,
                             every: int = 10, second_matrix=None,
                             resume: bool = True, mesh=None,
                             options: Optional[DavidsonOptions] = None,
-                            callbacks=(),
+                            callbacks=(), initial_vectors=None,
                             **overrides) -> DavidsonResult:
     """Davidson solve that checkpoints every ``every`` iterations.
 
@@ -164,6 +164,19 @@ def eigensolve_checkpointed(matrix, lowest: int, directory: str,
     def save_cb(st):
         save_state(directory, st)
 
+    X0 = None
+    if initial_vectors is not None and state is None:
+        # Warm start applies to FRESH solves only (a restored checkpoint
+        # already carries its basis).
+        import jax.numpy as jnp
+        X0 = jnp.asarray(initial_vectors, dt)
+        require(X0.ndim == 2 and X0.shape[0] == A.shape[0],
+                OperatorError,
+                f"initial_vectors must be (n, j) with n={A.shape[0]}; "
+                f"got {X0.shape}")
+        require(1 <= X0.shape[1] <= cfg.init_dim, OperatorError,
+                f"initial_vectors: j={X0.shape[1]} must be in "
+                f"[1, init_dim={cfg.init_dim}]")
     return run_chunked(cfg, A, B, every=every,
                        callbacks=(save_cb, *callbacks), state=state,
-                       constrain=constrain)
+                       constrain=constrain, X0=X0)

@@ -600,9 +600,9 @@ def get_stepper(cfg: ResolvedConfig, constrain=None):
     key = (cfg, constrain)
     pair = _STEPPER_CACHE.get(key)
     if pair is None:
-        def init_fn(A, B):
+        def init_fn(A, B, X0=None):
             with _ds_strategy(constrain):
-                return init_state(cfg, A, B, constrain=constrain)
+                return init_state(cfg, A, B, constrain=constrain, X0=X0)
 
         def step_fn(A, B, st, A_off=None, B_off=None):
             with _ds_strategy(constrain):
@@ -618,7 +618,7 @@ def run_chunked(cfg: ResolvedConfig, A: LinearOperator,
                 B: Optional[LinearOperator], *, every: int,
                 callbacks=(), state: Optional[dict] = None,
                 constrain=None, A_off=None,
-                B_off=None) -> DavidsonResult:
+                B_off=None, X0=None) -> DavidsonResult:
     """Chunked driver: run ``every`` iterations per device dispatch, then
     sync to host and invoke ``callbacks(state)`` — the hook point for
     checkpointing, convergence logging, and profiler steps. Semantics are
@@ -628,7 +628,7 @@ def run_chunked(cfg: ResolvedConfig, A: LinearOperator,
     if cfg.refined and A_off is None:
         A_off = A.offdiag()
         B_off = B.offdiag() if B is not None else None
-    st = init(A, B) if state is None else state
+    st = init(A, B, X0) if state is None else state
     it = int(st["it"])
     while True:
         end = min(it + every, cfg.max_iterations)

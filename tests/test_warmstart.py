@@ -119,3 +119,18 @@ class TestShardedWarmStart:
         np.testing.assert_allclose(np.asarray(warm.eigenvalues),
                                    np.asarray(cold.eigenvalues),
                                    atol=1e-10)
+
+
+class TestCheckpointedWarmStart:
+    def test_checkpointed_fresh_solve_warm_starts(self, hard_problem,
+                                                  tmp_path):
+        from fortran_davidson_tpu.checkpoint import eigensolve_checkpointed
+        A, cold = hard_problem
+        res = eigensolve_checkpointed(
+            A, 4, str(tmp_path), every=5, tolerance=1e-8,
+            max_iterations=400, initial_vectors=cold.eigenvectors)
+        assert bool(res.converged)
+        assert int(res.iterations) <= 2
+        np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                                   np.asarray(cold.eigenvalues),
+                                   atol=1e-10)
