@@ -355,3 +355,49 @@ class TestLowestKExpansion:
                                      eigvals_only=True)[:3]
         np.testing.assert_allclose(np.asarray(res.eigenvalues), expected,
                                    atol=1e-8)
+
+
+import fortran_davidson_tpu as fdt  # noqa: E402
+
+
+class TestDegenerateEigenvalues:
+    """Exactly repeated lowest eigenvalues: the solver must find the
+    full degenerate eigenspace (any orthonormal basis of it), report
+    the repeated eigenvalue for each pair, and stay orthonormal."""
+
+    def _degenerate_problem(self, n=80, mult=3):
+        rng = np.random.default_rng(7)
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        d = np.arange(1.0, n + 1.0)
+        d[:mult] = 1.0  # mult-fold degenerate lowest eigenvalue
+        return Q * d[None, :] @ Q.T, d
+
+    @pytest.mark.parametrize("method", ["DPR", "GJD", "OLSEN"])
+    def test_degenerate_lowest(self, method):
+        A, d = self._degenerate_problem()
+        A = 0.5 * (A + A.T)
+        res = fdt.eigensolve(jnp.asarray(A), 4, method=method,
+                             tolerance=1e-8, max_iterations=300)
+        assert bool(res.converged)
+        want = np.sort(np.linalg.eigvalsh(A))[:4]
+        np.testing.assert_allclose(np.asarray(res.eigenvalues), want,
+                                   atol=1e-8)
+        V = np.asarray(res.eigenvectors)
+        # Orthonormality across the degenerate block.
+        np.testing.assert_allclose(V.T @ V, np.eye(4), atol=1e-8)
+        # Residuals of each pair against the true matrix.
+        lam = np.asarray(res.eigenvalues)
+        r = A @ V - V * lam[None, :]
+        assert np.linalg.norm(r, axis=0).max() < 1e-7
+
+    def test_identity_matrix_all_degenerate(self):
+        # Total degeneracy: every eigenvalue 1. Must converge instantly
+        # with an orthonormal basis.
+        n = 40
+        res = fdt.eigensolve(jnp.eye(n), 3, tolerance=1e-10,
+                             max_iterations=50)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                                   np.ones(3), atol=1e-12)
+        V = np.asarray(res.eigenvectors)
+        np.testing.assert_allclose(V.T @ V, np.eye(3), atol=1e-10)
