@@ -164,19 +164,12 @@ def eigensolve_checkpointed(matrix, lowest: int, directory: str,
     def save_cb(st):
         save_state(directory, st)
 
-    X0 = None
-    if initial_vectors is not None and state is None:
-        # Warm start applies to FRESH solves only (a restored checkpoint
-        # already carries its basis).
-        import jax.numpy as jnp
-        X0 = jnp.asarray(initial_vectors, dt)
-        require(X0.ndim == 2 and X0.shape[0] == A.shape[0],
-                OperatorError,
-                f"initial_vectors must be (n, j) with n={A.shape[0]}; "
-                f"got {X0.shape}")
-        require(1 <= X0.shape[1] <= cfg.init_dim, OperatorError,
-                f"initial_vectors: j={X0.shape[1]} must be in "
-                f"[1, init_dim={cfg.init_dim}]")
+    # Warm start applies to FRESH solves only (a restored checkpoint
+    # already carries its basis).
+    from fortran_davidson_tpu.config import validate_initial_vectors
+    X0 = (validate_initial_vectors(initial_vectors, A.shape[0],
+                                   cfg.init_dim, dt)
+          if state is None else None)
     return run_chunked(cfg, A, B, every=every,
                        callbacks=(save_cb, *callbacks), state=state,
                        constrain=constrain, X0=X0)

@@ -174,7 +174,7 @@ class DavidsonOptions:
                 InvalidOptionsError,
                 f"unknown matmul_precision {self.matmul_precision!r}")
         require(self.cheb_degree == "auto"
-                or (isinstance(self.cheb_degree, int)
+                or (isinstance(self.cheb_degree, (int, np.integer))
                     and self.cheb_degree >= 0),
                 InvalidOptionsError,
                 "cheb_degree must be a non-negative int or 'auto'")
@@ -238,12 +238,43 @@ def subspace_cap(init_dim: int, max_dim: int, step: Optional[int] = None) -> int
     that first exceeding value (or init if init already exceeds max_dim).
 
     Lowest-k (``step=k``): the basis grows by at most ``step`` columns
-    per expansion.
+    per expansion, but partial admissions (SVQB drops, the noise gate,
+    locking, rank-deficient warm starts) mean the CURRENT dimension can
+    be any value <= max_dim when an expansion fires — so the padded
+    width must be ``max_dim + step`` exactly, not the first lattice
+    value past max_dim. A smaller cap makes the expansion's
+    dynamic-update-slice clamp its start column and silently overwrite
+    live basis columns (measured: a locking+warm-start solve with a
+    non-aligned ``max_dim`` froze at 5.8e-4 while overwriting its own
+    corrections every cycle).
     """
     cap = init_dim
     while cap <= max_dim:
         cap = cap * 2 if step is None else cap + step
+    if step is not None and init_dim <= max_dim:
+        cap = max(cap, max_dim + step)
     return cap
+
+
+def validate_initial_vectors(initial_vectors, n: int, init_dim: int,
+                             dtype):
+    """Validated (n, j) warm-start block as an array of ``dtype``.
+
+    Shared by every entry point accepting ``initial_vectors``
+    (solver.eigensolve, parallel.eigensolve_sharded,
+    checkpoint.eigensolve_checkpointed). Returns None for None.
+    """
+    from fortran_davidson_tpu.utils.errors import OperatorError
+    if initial_vectors is None:
+        return None
+    X0 = jnp.asarray(initial_vectors, dtype)
+    require(X0.ndim == 2 and X0.shape[0] == n, OperatorError,
+            f"initial_vectors must be (n, j) with n={n}; got "
+            f"{X0.shape}")
+    require(1 <= X0.shape[1] <= init_dim, OperatorError,
+            f"initial_vectors: j={X0.shape[1]} must be in "
+            f"[1, init_dim={init_dim}]")
+    return X0
 
 
 def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
@@ -358,5 +389,3 @@ import jax  # noqa: E402  (registration after class definitions)
 
 jax.tree_util.register_pytree_node(DavidsonResult, result_flatten,
                                    result_unflatten)
-
-del np

@@ -255,6 +255,13 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 jnp.abs(w_report[:k]), 1.0)
         else:
             conv_now = errors < cfg.tolerance
+        # A pair can only converge if it EXISTS: with fewer than k
+        # active basis columns (e.g. a rank-deficient warm start), the
+        # masked Ritz products are identically zero for the missing
+        # pairs — their zero "residuals" must not read as convergence
+        # (pre-fix: a tiled single-vector guess returned garbage
+        # eigenvalues with converged=True at iteration 1).
+        conv_now = conv_now & (pair_mask[:k] > 0.5)
         has_conv = (st["has_conv"] | conv_now) if cfg.sticky else conv_now
         all_conv = jnp.all(has_conv)
 
@@ -267,8 +274,11 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         op_cols = st["op_cols"]
 
         def no_update(_):
-            out = ((V, AV, m, col_ok, op_cols) if not gen
-                   else (V, AV, BV, m, col_ok, op_cols))
+            # hoist implies not gen; the hoisted block ran (and is
+            # discarded here), so its operator columns are still charged.
+            opc0 = op_cols + hoist_applied if hoist else op_cols
+            out = ((V, AV, m, col_ok, opc0) if not gen
+                   else (V, AV, BV, m, col_ok, opc0))
             return out
 
         def new_block():
@@ -317,6 +327,13 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         hoist = (precise and not gen
                  and cfg.method in ("DPR", "OLSEN"))
         hoisted = new_block() if hoist else None
+        # Operator-column accounting for the hoisted path: A runs on the
+        # post-orthonormalization block EVERY iteration (including
+        # collapse/converged iterations, where the block is discarded)
+        # and on columns the RQ gate later drops — charge what actually
+        # ran, not what survived.
+        hoist_applied = (jnp.sum(hoisted[2]).astype(jnp.int32)
+                         if hoist else None)
 
         def expand(_):
             if hoist:
@@ -340,7 +357,12 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 rq = jnp.sum(Q * AQ, axis=0)
                 wmax = jnp.max(jnp.abs(w[:k]) * pair_mask[:k])
                 cap = 250.0 * jnp.maximum(wmax, 1.0)
-                keep = alive_q * (rq <= cap).astype(dt)
+                # Two-sided: junk Rayleigh quotients sit at the MEAN
+                # DIAGONAL scale, which for shifted/negative spectra is
+                # negative — a one-sided rq <= cap test would pass them
+                # silently. Legitimate corrections are bounded below by
+                # the lowest Ritz value (|rq| <= cap by construction).
+                keep = alive_q * (jnp.abs(rq) <= cap).astype(dt)
                 order = jnp.argsort(jnp.logical_not(keep > 0.5),
                                     stable=True)
                 Q = (Q * keep[None, :])[:, order]
@@ -367,6 +389,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 AV2 = AV + jnp.roll(AQ, m, axis=1)
                 ok2 = col_ok + jnp.roll(alive_q, m)
                 m2 = 2 * m
+            charged = (op_cols + hoist_applied if hoist
+                       else op_cols + live)
             if gen:
                 BQ = B.matmat(Q)
                 if cfg.expansion == "lowest-k":
@@ -374,8 +398,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                         BV, BQ, (jnp.zeros((), m.dtype), m))
                 else:
                     BV2 = BV + jnp.roll(BQ, m, axis=1)
-                return (V2, AV2, BV2, m2, ok2, op_cols + live)
-            return (V2, AV2, m2, ok2, op_cols + live)
+                return (V2, AV2, BV2, m2, ok2, charged)
+            return (V2, AV2, m2, ok2, charged)
 
         def collapse(_):
             # NOTE: recompute V@W2 / AV@W2 rather than slicing the Ritz
@@ -416,7 +440,7 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             AVn = jnp.zeros_like(AV).at[:, :init_dim].set(AQc)
             mn = jnp.asarray(init_dim, jnp.int32)
             okn = (jnp.arange(m_max) < init_dim).astype(dt)
-            opc = op_cols
+            opc = op_cols + hoist_applied if hoist else op_cols
             if (cfg.cheb_degree >= 2 or cfg.cheb_auto) and not gen:
                 opc = opc + (degree + 1) * init_dim
             if gen:
@@ -455,11 +479,16 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         )
         if precise and not gen:
             # Plateau detection (see init_state): converged pairs are
-            # excluded via has_conv so sticky semantics still win.
+            # excluded via has_conv so sticky semantics still win. A
+            # collapse resets the counter — the thin restart basis
+            # legitimately needs recovery iterations that would
+            # otherwise read as no-progress.
             worst = jnp.max(jnp.where(has_conv, 0.0, errors))
             improved = worst < st["best_err"] * (1.0 - 1e-2)
+            collapsed = mn < m
             out["best_err"] = jnp.minimum(st["best_err"], worst)
-            no_prog = jnp.where(improved, 0, st["no_prog"] + 1)
+            no_prog = jnp.where(improved | collapsed, 0,
+                                st["no_prog"] + 1)
             out["no_prog"] = no_prog
             out["stalled"] = out["stalled"] | (no_prog >= _PLATEAU_ITERS)
         if gen:

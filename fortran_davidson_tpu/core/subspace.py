@@ -49,11 +49,18 @@ def initial_subspace_with_guess(diag, X0, m_init: int, m_max: int,
     ``X0`` (n, j), j <= m_init (static width): the caller's approximate
     eigenvectors — e.g. the previous solve of a slowly varying operator
     (the production warm-start pattern; the reference has no analogue).
+
     The remaining ``m_init - j`` columns come from the canonical
     preconditioner basis (:func:`initial_subspace`), and the combined
     block is SVQB-orthonormalized — near-duplicate or rank-deficient
     guesses lose their redundant directions instead of poisoning the
-    basis (drops are handled by the loop's column accounting).
+    basis. A degenerate guess can therefore start with fewer than
+    ``m_init`` live columns (even fewer than ``lowest``); the loop's
+    pair-existence convergence check and ordinary expansion grow the
+    basis back honestly. On the precise path the SVQB applies the same
+    noise-floor rank threshold as the expand step, so sub-noise
+    difference directions between the guess and the fill are dropped,
+    not whitened into junk columns.
 
     Returns ``(V0, col_ok, m0)``: the padded basis, its live-column
     mask, and the (traced) live count.
@@ -62,15 +69,20 @@ def initial_subspace_with_guess(diag, X0, m_init: int, m_max: int,
 
     n = diag.shape[0]
     j = X0.shape[1]
-    C = jnp.zeros((n, m_init), diag.dtype)
-    C = C.at[:, :j].set(X0.astype(diag.dtype))
+    dt = diag.dtype
+    eps = float(jnp.finfo(dt).eps)
+    rank_rtol = (max(m_init * eps, (10.0 * eps) ** 2 * n) if precise
+                 else None)
+    C = jnp.zeros((n, m_init), dt)
+    C = C.at[:, :j].set(X0.astype(dt))
     if m_init > j:
         fill = initial_subspace(diag, m_init - j, m_init - j)
         C = C.at[:, j:].set(fill)
-    Q, alive = orthogonal.svqb(C, jnp.ones((m_init,), diag.dtype),
-                               return_alive=True, precise=precise)
-    V0 = jnp.zeros((n, m_max), diag.dtype).at[:, :m_init].set(Q)
-    col_ok = jnp.zeros((m_max,), diag.dtype).at[:m_init].set(alive)
+    Q, alive = orthogonal.svqb(C, jnp.ones((m_init,), dt),
+                               rank_rtol=rank_rtol, return_alive=True,
+                               precise=precise)
+    V0 = jnp.zeros((n, m_max), dt).at[:, :m_init].set(Q)
+    col_ok = jnp.zeros((m_max,), dt).at[:m_init].set(alive)
     return V0, col_ok, jnp.sum(alive).astype(jnp.int32)
 
 

@@ -64,7 +64,7 @@ def main(argv=None) -> int:
                         help="two-stage pipeline: a cheap plain-f32 "
                         "solve to its residual floor warm-starts the "
                         "refined solve (fastest 10M-to-1e-8 recipe: "
-                        "1.37 s warm vs 2.37 s cold refined; implies "
+                        "1.33 s warm vs 2.37 s cold refined; implies "
                         "--refined)")
     args = parser.parse_args(argv)
     if args.progressive:

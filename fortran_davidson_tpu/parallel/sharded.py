@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fortran_davidson_tpu.config import (DavidsonOptions, DavidsonResult,
+                                         validate_initial_vectors,
                                          merge_options, resolve_options)
 from fortran_davidson_tpu.core.loop import get_engine
 from fortran_davidson_tpu.ops.operators import (DenseOperator,
@@ -163,18 +164,10 @@ def eigensolve_sharded(matrix, lowest: int, mesh: Mesh, second_matrix=None,
                 f"B shape {B.shape} does not match A shape {A.shape}")
 
     cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None)
-    X0 = None
-    if initial_vectors is not None:
-        X0 = jnp.asarray(initial_vectors, dt)
-        require(X0.ndim == 2 and X0.shape[0] == A.shape[0],
-                OperatorError,
-                f"initial_vectors must be (n, j) with n={A.shape[0]}; "
-                f"got {X0.shape}")
-        require(1 <= X0.shape[1] <= cfg.init_dim, OperatorError,
-                f"initial_vectors: j={X0.shape[1]} must be in "
-                f"[1, init_dim={cfg.init_dim}]")
-        X0 = jax.device_put(
-            X0, NamedSharding(mesh, P(axis, None)))
+    X0 = validate_initial_vectors(initial_vectors, A.shape[0],
+                                  cfg.init_dim, dt)
+    if X0 is not None:
+        X0 = jax.device_put(X0, NamedSharding(mesh, P(axis, None)))
     engine = get_engine(cfg, constrain=RowShardConstraint(mesh, axis))
     with mesh:
         if cfg.refined:

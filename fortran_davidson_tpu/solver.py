@@ -21,7 +21,8 @@ from typing import Optional
 import jax.numpy as jnp
 
 from fortran_davidson_tpu.config import (DavidsonOptions, DavidsonResult,
-                                         merge_options, resolve_options)
+                                         merge_options, resolve_options,
+                                         validate_initial_vectors)
 from fortran_davidson_tpu.core.loop import get_engine
 from fortran_davidson_tpu.ops.operators import LinearOperator, as_operator
 from fortran_davidson_tpu.utils.dtypes import canonical_dtype
@@ -65,16 +66,8 @@ def eigensolve(matrix, lowest: int, second_matrix=None,
                 f"B shape {B.shape} does not match A shape {A.shape}")
 
     cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None)
-    X0 = None
-    if initial_vectors is not None:
-        X0 = jnp.asarray(initial_vectors, dt)
-        require(X0.ndim == 2 and X0.shape[0] == A.shape[0],
-                OperatorError,
-                f"initial_vectors must be (n, j) with n={A.shape[0]}; "
-                f"got {X0.shape}")
-        require(1 <= X0.shape[1] <= cfg.init_dim, OperatorError,
-                f"initial_vectors: j={X0.shape[1]} must be in "
-                f"[1, init_dim={cfg.init_dim}]")
+    X0 = validate_initial_vectors(initial_vectors, A.shape[0],
+                                  cfg.init_dim, dt)
     engine = get_engine(cfg)
     if cfg.refined:
         # High-precision path: the engine additionally receives the

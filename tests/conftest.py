@@ -37,3 +37,19 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_cache_memory():
+    """Per-module cache cleanup: the suite compiles hundreds of engine
+    variants (every (config, constrain) pair is its own XLA executable)
+    and holds module-scope million-row fixtures; without eviction the
+    accumulated executables exhaust host memory near the end of the full
+    run (observed: XLA CPU compile aborting with a fatal error at ~95%
+    of the suite). Engines are config-keyed, so cross-module reuse is
+    rare and re-compilation is cheap relative to the test bodies."""
+    yield
+    from fortran_davidson_tpu.core import loop as _loop
+    _loop._ENGINE_CACHE.clear()
+    _loop._STEPPER_CACHE.clear()
+    jax.clear_caches()

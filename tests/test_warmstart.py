@@ -134,3 +134,72 @@ class TestCheckpointedWarmStart:
         np.testing.assert_allclose(np.asarray(res.eigenvalues),
                                    np.asarray(cold.eigenvalues),
                                    atol=1e-10)
+
+
+class TestReviewRegressions:
+    """Code-review regressions: rank-deficient guesses must never
+    produce converged=True with garbage, and partial admissions must
+    never clamp the expansion write into live basis columns."""
+
+    def test_tiled_guess_is_honest(self, hard_problem):
+        # Pre-fix: a single vector tiled to full width left one active
+        # basis column; the three missing pairs' identically-zero
+        # residuals read as converged and the solve returned garbage
+        # eigenvalues with converged=True at iteration 1.
+        A, cold = hard_problem
+        X0 = np.tile(np.asarray(cold.eigenvectors)[:, :1], (1, 8))
+        res = fdt.eigensolve(A, 4, tolerance=1e-8, initial_vectors=X0,
+                             max_iterations=400)
+        want = scipy.linalg.eigh(np.asarray(A), eigvals_only=True)[:4]
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.eigenvalues), want,
+                                   atol=1e-8)
+
+    def test_nonaligned_max_dim_with_partial_admissions(self,
+                                                        hard_problem):
+        # Pre-fix: with max_dim - init_dim not a multiple of k, partial
+        # admissions (locking + a 3-vector warm start) walked m into the
+        # window where the expansion's dynamic_update_slice clamped its
+        # start column and overwrote live basis columns every cycle
+        # (frozen at 5.8e-4 for all 400 iterations).
+        A, cold = hard_problem
+        X3 = np.asarray(cold.eigenvectors)[:, :3]
+        res = fdt.eigensolve(A, 4, tolerance=1e-8, expansion="lowest-k",
+                             locking=True, init_dim=8, max_dim_sub=10,
+                             initial_vectors=X3, max_iterations=400)
+        want = scipy.linalg.eigh(np.asarray(A), eigvals_only=True)[:4]
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.eigenvalues), want,
+                                   atol=1e-8)
+
+    def test_numpy_int_cheb_degree(self):
+        # Pre-fix: the 'auto' validation narrowed the int check to
+        # isinstance(int), rejecting numpy integers from config files.
+        opts = fdt.DavidsonOptions(cheb_degree=np.int64(6))
+        assert int(opts.cheb_degree) == 6
+
+    def test_refined_negative_spectrum(self):
+        # Pre-fix: the expand-step Rayleigh-quotient gate was one-sided
+        # (rq <= cap), silently inert for shifted spectra whose junk
+        # columns carry NEGATIVE mean-diagonal-scale quotients.
+        from fortran_davidson_tpu.models.generators import \
+            surrogate_hamiltonian
+        import jax.numpy as jnp
+        base = surrogate_hamiltonian(100_096, dtype=jnp.float32)
+        shift = jnp.float32(50_000.0)
+        d = base.diagonal() - shift
+
+        def apply(X, d, base_cap):
+            return base_cap.matmat(X) - shift * X
+
+        from fortran_davidson_tpu.ops.operators import MatrixFreeOperator
+        op = MatrixFreeOperator(apply, base.shape[0], dtype=jnp.float32,
+                                diag=d, captured=(d, base))
+        res = fdt.eigensolve(op, 3, method="DPR", tolerance=1e-6,
+                             relative_tolerance=True, max_iterations=40,
+                             dtype="float32", expansion="lowest-k",
+                             refined=True, final_polish=2)
+        assert bool(res.converged)
+        np.testing.assert_allclose(
+            np.asarray(res.eigenvalues),
+            np.asarray([1.0, 2.0, 3.0]) - 50_000.0, atol=1e-3)
