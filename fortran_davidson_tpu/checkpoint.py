@@ -164,12 +164,19 @@ def eigensolve_checkpointed(matrix, lowest: int, directory: str,
     def save_cb(st):
         save_state(directory, st)
 
-    # Warm start applies to FRESH solves only (a restored checkpoint
-    # already carries its basis).
+    # Validate ALWAYS (a malformed argument should raise on resume runs
+    # too, not only once the checkpoint directory is empty); the warm
+    # start is USED only for fresh solves — a restored checkpoint
+    # already carries its basis.
     from fortran_davidson_tpu.config import validate_initial_vectors
-    X0 = (validate_initial_vectors(initial_vectors, A.shape[0],
-                                   cfg.init_dim, dt)
-          if state is None else None)
+    X0 = validate_initial_vectors(initial_vectors, A.shape[0],
+                                  cfg.init_dim, dt)
+    if state is not None:
+        X0 = None
+    if X0 is not None and mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from fortran_davidson_tpu.parallel.mesh import ROWS_AXIS
+        X0 = jax.device_put(X0, NamedSharding(mesh, P(ROWS_AXIS, None)))
     return run_chunked(cfg, A, B, every=every,
                        callbacks=(save_cb, *callbacks), state=state,
                        constrain=constrain, X0=X0)

@@ -89,6 +89,18 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
         with _precision_ctx(cfg):
             V0, ok0, m0 = subspace.initial_subspace_with_guess(
                 diag_a, X0, init_dim, m_max, precise=cfg.refined)
+        if cfg.expansion == "doubling":
+            # Doubling's dimension bookkeeping doubles m REGARDLESS of
+            # the live count (reference parity, ``src/davidson.f90:199``)
+            # and its roll-add placement requires m on the init_dim
+            # lattice: an off-lattice m from a rank-deficient guess
+            # would overrun m_max and WRAP correction columns circularly
+            # into live basis columns (measured: subspace_dims hit 80
+            # with m_max=64 and col_ok entries reached 2.0). Snap m to
+            # init_dim — dropped guess columns stay as zero columns
+            # inside the active window, the SVQB-hole pattern the
+            # loop's masks already handle.
+            m0 = jnp.asarray(init_dim, jnp.int32)
     with _precision_ctx(cfg):
         AV0 = A.matmat(V0)
         BV0 = B.matmat(V0) if gen else None
@@ -340,6 +352,11 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 Q, AQ, alive_q = hoisted
             else:
                 Q, AQ, alive_q = new_block()
+            # Columns A.matmat actually ran on (pre-RQ-gate): the honest
+            # operator_columns charge for every precise path, hoisted or
+            # not. Non-precise paths have no gate, so this equals the
+            # post-placement live count there.
+            applied = jnp.sum(alive_q).astype(jnp.int32)
             if precise:
                 # Spectral noise gate (second line of defense behind the
                 # SVQB noise-floor threshold): a whitened junk direction
@@ -390,7 +407,7 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 ok2 = col_ok + jnp.roll(alive_q, m)
                 m2 = 2 * m
             charged = (op_cols + hoist_applied if hoist
-                       else op_cols + live)
+                       else op_cols + applied)
             if gen:
                 BQ = B.matmat(Q)
                 if cfg.expansion == "lowest-k":

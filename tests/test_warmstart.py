@@ -203,3 +203,25 @@ class TestReviewRegressions:
         np.testing.assert_allclose(
             np.asarray(res.eigenvalues),
             np.asarray([1.0, 2.0, 3.0]) - 50_000.0, atol=1e-3)
+
+    def test_doubling_rank_deficient_guess_no_wraparound(self,
+                                                         hard_problem):
+        # Pre-fix: a rank-deficient guess in doubling mode put m off the
+        # init_dim lattice; m2 = 2*m overran the padded width and the
+        # expansion's roll-add WRAPPED correction columns circularly
+        # into live basis columns (subspace_dims reached 80 with
+        # m_max=64, col_ok entries hit 2.0).
+        A, cold = hard_problem
+        V = np.asarray(cold.eigenvectors)
+        rng = np.random.default_rng(1)
+        X0 = np.concatenate(
+            [V[:, :4], V[:, :3] @ rng.standard_normal((3, 3)),
+             V[:, :1]], axis=1)  # width 8, rank ~5
+        res = fdt.eigensolve(A, 4, tolerance=1e-8, initial_vectors=X0,
+                             max_iterations=400)
+        dims = np.asarray(res.subspace_dims)[:int(res.iterations)]
+        assert dims.max() <= 64  # never overruns the padded width
+        want = scipy.linalg.eigh(np.asarray(A), eigvals_only=True)[:4]
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.eigenvalues), want,
+                                   atol=1e-8)
