@@ -122,3 +122,50 @@ def test_random_feature_combo(seed, n, k, method, refined, polish,
         np.testing.assert_allclose(vals, expected,
                                    atol=1e-7 if dtype == "float64"
                                    else 5e-4)
+
+
+def _sharded_cases():
+    rng = np.random.default_rng(77)
+    cases = []
+    for i in range(6):
+        nmul = int(rng.integers(2, 30))        # n = 8 * nmul
+        k = int(rng.integers(1, 4))
+        gen = bool(rng.integers(0, 2))
+        refined = bool(rng.integers(0, 2)) and not gen
+        dtype = str(rng.choice(["float64", "float32"]))
+        cases.append((i, 8 * nmul, k, gen, refined, dtype))
+    return cases
+
+
+@pytest.mark.parametrize("seed,n,k,gen,refined,dtype", _sharded_cases())
+def test_random_sharded_config(seed, n, k, gen, refined, dtype):
+    """Random GSPMD configurations on the 8-device CPU mesh: odd row
+    multiples, generalized pencils, and the refined tree-strategy path
+    must all partition cleanly and match scipy when they converge."""
+    from fortran_davidson_tpu.parallel import default_mesh, \
+        eigensolve_sharded
+    mesh = default_mesh(8)
+    A = generate_diagonal_dominant(n, 1e-3, key=jax.random.PRNGKey(seed))
+    B = (generate_diagonal_dominant(n, 1e-3, diag_val=1.0,
+                                    key=jax.random.PRNGKey(seed + 50))
+         if gen else None)
+    if dtype == "float32":
+        A = jnp.asarray(np.asarray(A), jnp.float32)
+        B = None if B is None else jnp.asarray(np.asarray(B), jnp.float32)
+    tol = 1e-8 if dtype == "float64" else 1e-4
+    res = eigensolve_sharded(A, k, mesh, second_matrix=B, tolerance=tol,
+                             max_iterations=300, dtype=dtype,
+                             refined=refined)
+    res.block_until_ready()
+    vals = np.asarray(res.eigenvalues)
+    assert np.all(np.isfinite(vals))
+    if bool(res.converged):
+        A64 = np.asarray(A, np.float64)
+        if gen:
+            expected = scipy.linalg.eigh(A64, np.asarray(B, np.float64),
+                                         eigvals_only=True)[:k]
+        else:
+            expected = scipy.linalg.eigh(A64, eigvals_only=True)[:k]
+        np.testing.assert_allclose(vals, expected,
+                                   atol=1e-7 if dtype == "float64"
+                                   else 5e-3)
