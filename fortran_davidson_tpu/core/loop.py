@@ -255,10 +255,18 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             ref = refine.refined_pairs(
                 A_off, diag_a, X[:, :k],
                 B_off=B_off, diag_b=diag_b if gen else None)
-            errors = ref.errors.astype(dt)
+            # Nonexistent pairs (pair_mask == 0) are masked with `where`,
+            # not multiplication: refined values for zero columns are
+            # guarded inside refined_pairs, but a select is NaN-proof by
+            # construction (NaN * 0 == NaN would poison the correction
+            # block and then the basis). Their "residual" is unknowable,
+            # so errors reads inf — the pair-existence convergence guard
+            # below agrees.
+            pm_k = pair_mask[:k] > 0.5
+            errors = jnp.where(pm_k, ref.errors.astype(dt), jnp.inf)
             w_report = jnp.concatenate([ref.evals.astype(dt), w[k:]])
-            R = R.at[:, :k].set(ref.residual.astype(dt)
-                                * pair_mask[:k][None, :])
+            R = R.at[:, :k].set(jnp.where(pm_k[None, :],
+                                          ref.residual.astype(dt), 0.0))
         else:
             errors = jnp.linalg.norm(R[:, :k], axis=0)
             w_report = w
@@ -497,15 +505,20 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         if precise and not gen:
             # Plateau detection (see init_state): converged pairs are
             # excluded via has_conv so sticky semantics still win. A
-            # collapse resets the counter — the thin restart basis
-            # legitimately needs recovery iterations that would
-            # otherwise read as no-progress.
+            # collapse is NEUTRAL — the thin restart basis legitimately
+            # needs recovery iterations that would otherwise read as
+            # no-progress, but it must not RESET the counter: the
+            # doubling schedule collapses every ~log2(max_dim/init_dim)
+            # iterations (< _PLATEAU_ITERS for typical configs), and a
+            # reset would make the plateau exit structurally unreachable
+            # there, grinding noise to max_iterations at the f32 floor.
             worst = jnp.max(jnp.where(has_conv, 0.0, errors))
             improved = worst < st["best_err"] * (1.0 - 1e-2)
             collapsed = mn < m
             out["best_err"] = jnp.minimum(st["best_err"], worst)
-            no_prog = jnp.where(improved | collapsed, 0,
-                                st["no_prog"] + 1)
+            no_prog = jnp.where(improved, 0,
+                                jnp.where(collapsed, st["no_prog"],
+                                          st["no_prog"] + 1))
             out["no_prog"] = no_prog
             out["stalled"] = out["stalled"] | (no_prog >= _PLATEAU_ITERS)
         if gen:

@@ -163,6 +163,16 @@ def refined_pairs(A_off, diag_a, X, B_off=None, diag_b=None) -> RefinedPairs:
         den = dsm.ds_add(den, _diag_quad_form(diag_b, X))
     else:
         den = dsm.dot_cols_ds(X, X)
+    # A nonexistent pair (identically-zero column — e.g. a rank-deficient
+    # warm start before the basis fills out) has xᵀBx == 0 exactly;
+    # dividing would mint a NaN that survives every downstream
+    # mask-*multiply* (NaN*0 = NaN) and poisons the basis via the expand
+    # write. Floor the denominator to 1 for exactly-zero columns: the
+    # numerator is exactly zero there too, so λ, the residual, and the
+    # error all come out 0 and the loop's pair-existence guard decides.
+    dead = den.hi == 0
+    den = DS(jnp.where(dead, jnp.ones_like(den.hi), den.hi),
+             jnp.where(dead, jnp.zeros_like(den.lo), den.lo))
     lam = dsm.ds_div(num, den)
 
     # True residual with the diagonal cancellation in DS and the final

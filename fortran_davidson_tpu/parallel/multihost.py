@@ -14,6 +14,7 @@ library code can call it unconditionally.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -22,6 +23,21 @@ from jax.sharding import Mesh
 from fortran_davidson_tpu.parallel.mesh import ROWS_AXIS, default_mesh
 
 _initialized = False
+
+
+def _multihost_env_hints() -> list:
+    """Environment evidence that this process is part of a multi-process
+    launch (so a failed ``jax.distributed.initialize()`` is a real
+    misconfiguration, not a benign single-process fall-through)."""
+    hints = [name for name in ("JAX_COORDINATOR_ADDRESS",
+                               "MEGASCALE_COORDINATOR_ADDRESS",
+                               "JAX_NUM_PROCESSES")
+             if os.environ.get(name)]
+    for name in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+        val = os.environ.get(name)
+        if val and val.isdigit() and int(val) > 1:
+            hints.append(name)
+    return hints
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -48,8 +64,20 @@ def initialize(coordinator_address: Optional[str] = None,
         else:
             try:
                 jax.distributed.initialize()
-            except (ValueError, RuntimeError):
-                pass  # single-process: no coordinator / backend already up
+            except (ValueError, RuntimeError) as e:
+                # Benign ONLY for genuine single-process runs (no
+                # coordinator discoverable / backend already up in
+                # tests). If the environment says this is one process of
+                # a multi-process launch, a silent local-mesh fallback
+                # would give every process an inconsistent mesh —
+                # hangs or wrong collectives with no signal. Fail loud.
+                hints = _multihost_env_hints()
+                if hints:
+                    raise RuntimeError(
+                        "jax.distributed.initialize() failed in what "
+                        f"looks like a multi-process launch ({'/'.join(hints)} "
+                        "set); refusing to fall back to a local mesh"
+                    ) from e
         _initialized = True
     return default_mesh(axis=axis)
 

@@ -121,9 +121,16 @@ def generalized_eigensolver(matrix, lowest: int, method: str = "DPR",
                      **overrides)
     res.block_until_ready()
     if not bool(res.converged):
+        # The hint must reflect the RESOLVED configuration: `refined`
+        # may arrive via options=DavidsonOptions(refined=True) rather
+        # than as a keyword override, and suggesting refined=True to a
+        # solve that already ran refined would be misleading.
+        resolved = merge_options(
+            overrides.get("options"),
+            {key: v for key, v in overrides.items() if key != "options"})
         hint = ""
         if (jnp.dtype(res.eigenvalues.dtype) == jnp.float32
-                and not overrides.get("refined")
+                and not resolved.refined
                 and tolerance < 1e-5):
             hint = (" — float32 residuals floor at ~sqrt(n)*eps*||A||; "
                     "for tighter tolerances use refined=True (+"
