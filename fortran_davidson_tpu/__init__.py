@@ -9,6 +9,8 @@ sharded across a TPU mesh.
 
 from fortran_davidson_tpu.checkpoint import eigensolve_checkpointed
 from fortran_davidson_tpu.config import DavidsonOptions, DavidsonResult
+from fortran_davidson_tpu.core.loop import (clear_compiled_caches,
+                                            set_compiled_cache_capacity)
 from fortran_davidson_tpu.ops.operators import (
     DenseOperator,
     DiagonalOperator,
@@ -34,10 +36,12 @@ __all__ = [
     "LinearOperator",
     "MatrixFreeOperator",
     "as_operator",
+    "clear_compiled_caches",
     "eigensolve",
     "eigensolve_checkpointed",
     "from_element_fn",
     "generalized_eigensolver",
     "polish_eigenpairs",
+    "set_compiled_cache_capacity",
     "__version__",
 ]

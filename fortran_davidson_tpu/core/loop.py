@@ -24,6 +24,7 @@ TPU-native redesign of the reference's allocating Fortran loop
 from __future__ import annotations
 
 import contextlib
+import os
 from typing import Optional
 
 import jax
@@ -622,7 +623,73 @@ def _engine(cfg: ResolvedConfig, A: LinearOperator,
     return res
 
 
-_ENGINE_CACHE: dict = {}
+class _LRUCache:
+    """Bounded compiled-program cache.
+
+    Engines are keyed by the full (config, constrain) pair, so a
+    config-sweeping caller (tolerance ladders, hyperparameter scans)
+    mints a new XLA executable per distinct configuration; unbounded,
+    the accumulated executables exhaust host memory (observed: XLA:CPU
+    aborting with a fatal compile error near the end of the full test
+    suite before the suite grew per-module eviction). An LRU bound keeps
+    hot configs compiled while cold executables lose their last
+    reference and are freed with the jitted callable.
+    """
+
+    def __init__(self, capacity: int):
+        import collections
+        self._d = collections.OrderedDict()
+        self.capacity = capacity
+
+    def get(self, key):
+        value = self._d.get(key)
+        if value is not None:
+            self._d.move_to_end(key)
+        return value
+
+    def put(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > max(1, self.capacity):
+            self._d.popitem(last=False)
+
+    def clear(self):
+        self._d.clear()
+
+    def __len__(self):
+        return len(self._d)
+
+
+_DEFAULT_CACHE_CAPACITY = int(
+    os.environ.get("FDT_ENGINE_CACHE_SIZE", "32"))
+
+_ENGINE_CACHE = _LRUCache(_DEFAULT_CACHE_CAPACITY)
+
+
+def set_compiled_cache_capacity(capacity: int) -> None:
+    """Bound how many compiled engine/stepper variants stay live.
+
+    Each distinct (DavidsonOptions, sharding) pair compiles its own XLA
+    executable; the default bound (32, or ``FDT_ENGINE_CACHE_SIZE``)
+    suits typical workloads. Raise it for wide multi-config services,
+    lower it (even to 1) for memory-constrained sweeps.
+    """
+    if capacity < 1:
+        raise ValueError("cache capacity must be >= 1")
+    _ENGINE_CACHE.capacity = capacity
+    _STEPPER_CACHE.capacity = capacity
+    while len(_ENGINE_CACHE) > capacity:
+        _ENGINE_CACHE._d.popitem(last=False)
+    while len(_STEPPER_CACHE) > capacity:
+        _STEPPER_CACHE._d.popitem(last=False)
+
+
+def clear_compiled_caches() -> None:
+    """Drop every cached compiled engine/stepper (their executables are
+    freed with the last reference). The library-level mechanism behind
+    long config sweeps; tests clear per module via this hook."""
+    _ENGINE_CACHE.clear()
+    _STEPPER_CACHE.clear()
 
 
 def get_engine(cfg: ResolvedConfig, constrain=None):
@@ -641,11 +708,11 @@ def get_engine(cfg: ResolvedConfig, constrain=None):
             return _engine(cfg, A, B, constrain=constrain,
                            A_off=A_off, B_off=B_off, X0=X0)
         fn = jax.jit(run)
-        _ENGINE_CACHE[key] = fn
+        _ENGINE_CACHE.put(key, fn)
     return fn
 
 
-_STEPPER_CACHE: dict = {}
+_STEPPER_CACHE = _LRUCache(_DEFAULT_CACHE_CAPACITY)
 
 
 def get_stepper(cfg: ResolvedConfig, constrain=None):
@@ -669,7 +736,7 @@ def get_stepper(cfg: ResolvedConfig, constrain=None):
                                  A_off=A_off, B_off=B_off)
 
         pair = (jax.jit(init_fn), jax.jit(step_fn))
-        _STEPPER_CACHE[key] = pair
+        _STEPPER_CACHE.put(key, pair)
     return pair
 
 

@@ -49,7 +49,6 @@ def _bound_compile_cache_memory():
     of the suite). Engines are config-keyed, so cross-module reuse is
     rare and re-compilation is cheap relative to the test bodies."""
     yield
-    from fortran_davidson_tpu.core import loop as _loop
-    _loop._ENGINE_CACHE.clear()
-    _loop._STEPPER_CACHE.clear()
+    from fortran_davidson_tpu import clear_compiled_caches
+    clear_compiled_caches()
     jax.clear_caches()
