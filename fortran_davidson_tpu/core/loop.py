@@ -126,7 +126,7 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
     )
     if gen:
         state["BV"] = BV0
-    if cfg.refined and not gen:
+    if cfg.refined:
         # Residual-plateau tracking (precise path only): at scale the
         # f32-stored basis floors the attainable in-loop residual
         # (~3.5e-5 absolute at 10M rows) far above 1e-8-grade
@@ -215,6 +215,30 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             ph, pl = two_sum(H_ds.hi, pen)
             W = W.at[:, :k].set(_refine.refine_ritz(
                 DS(ph, pl + H_ds.lo), w, W, k))
+        elif precise:
+            # Generalized refined path: the pencil is first-class (the
+            # reference's free engine is always generalized,
+            # ``src/davidson.f90:277-279``). Both projections are
+            # DS-measured, the masked DSYGV-style reduction runs on
+            # their f32 roundings, and the k wanted eigenvectors are
+            # refined first-order against the DS pencil residual
+            # H y - θ S y — the same mechanism that removes the
+            # ~eps*||H|| f32-eigh floor on the standard path.
+            from fortran_davidson_tpu.core import refine as _refine
+            from fortran_davidson_tpu.utils.ds import DS, gram_ds, two_sum
+            H_ds = gram_ds(V, AV)
+            S_ds = gram_ds(V, BV)
+            H = H_ds.hi + H_ds.lo
+            S = S_ds.hi + S_ds.lo
+            w, W = subspace.masked_generalized_eigh(H, S, mask)
+            # The SAME penalized matrices the reduction diagonalized,
+            # held as DS pairs (penalties added with exact two_sum).
+            pen = jnp.diag(subspace._pad_penalties(H, mask))
+            spen = jnp.diag(1.0 - mask)
+            ph, pl = two_sum(H_ds.hi, pen)
+            sh, sl = two_sum(S_ds.hi, spen)
+            W = W.at[:, :k].set(_refine.refine_ritz_pencil(
+                DS(ph, pl + H_ds.lo), DS(sh, sl + S_ds.lo), w, W, k))
         else:
             H = subspace.project(V, AV, precise=precise)
             S = subspace.project(V, BV, precise=precise) if gen else None
@@ -503,7 +527,7 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             history=history, dims=dims, op_cols=opc,
             stalled=stalled,
         )
-        if precise and not gen:
+        if precise:
             # Plateau detection (see init_state): converged pairs are
             # excluded via has_conv so sticky semantics still win. A
             # collapse is NEUTRAL — the thin restart basis legitimately

@@ -95,6 +95,35 @@ def _ds_col_norms(R: DS):
                           jnp.where(sq.hi > 0, sq.lo, 0.0))).to_float()
 
 
+def _ds_matmul_cols(M_ds: DS, Wk) -> DS:
+    """``M @ Wk`` with M an (m, m) DS matrix, exact to ~eps² (m is the
+    small projected dimension — O(m²k) VPU work)."""
+    p, e = dsm.two_prod(M_ds.hi[:, :, None], Wk[None, :, :])  # (m, m, k)
+    my = dsm.ds_sum_tree(p.transpose(1, 0, 2), axis=0,
+                         lo=e.transpose(1, 0, 2))
+    return dsm.ds_add(my, dsm.ds(jnp.einsum(
+        "ij,jk->ik", M_ds.lo, Wk, preferred_element_type=M_ds.lo.dtype)))
+
+
+def _first_order_update(W, w, r_f, k: int):
+    """Eigenbasis perturbation ``y_j ← y_j + Σ_{i≠j} cᵢⱼ/(θ_j−θ_i) yᵢ``
+    from the projected residual coefficients ``c = Wᵀ r`` — shared by the
+    standard and pencil refinements (for the pencil, Wᵀ r is the correct
+    projection because W is S-orthonormal). Padded-block eigenpairs
+    participate harmlessly (huge |θ_j − θ_i| denominators)."""
+    m = W.shape[0]
+    c = jnp.dot(W.T, r_f, preferred_element_type=r_f.dtype)  # (m, k)
+    denom = w[:k][None, :] - w[:, None]  # (m, k): θ_j - θ_i
+    gap_floor = 16.0 * jnp.finfo(r_f.dtype).eps * (
+        jnp.abs(w[:k])[None, :] + 1.0)
+    safe = jnp.where(jnp.abs(denom) < gap_floor, jnp.inf, denom)
+    coef = c / safe
+    # Zero the self-term (and exact-degenerate partners via the floor).
+    eye_k = (jnp.arange(m)[:, None] == jnp.arange(k)[None, :])
+    coef = jnp.where(eye_k, 0.0, coef)
+    return W[:, :k] + jnp.dot(W, coef, preferred_element_type=W.dtype)
+
+
 def refine_ritz(H_ds: DS, w, W, k: int):
     """First-order refinement of the k wanted eigenvectors of the
     projected matrix, beyond f32-eigh accuracy.
@@ -108,30 +137,40 @@ def refine_ritz(H_ds: DS, w, W, k: int):
 
         y_j ← y_j + Σ_{i≠j} (u_iᵀ r_j)/(θ_j - θ_i) u_i,
 
-    recovers the square of the accuracy at O(m²k) cost. Padded-block
-    eigenpairs participate harmlessly (huge |θ_j - θ_i| denominators).
+    recovers the square of the accuracy at O(m²k) cost.
     """
-    m = H_ds.hi.shape[0]
     Wk = W[:, :k]
     # DS evaluation of H @ Wk - Wk * θ (m x k, all small).
-    p, e = dsm.two_prod(H_ds.hi[:, :, None], Wk[None, :, :])  # (m, m, k)
-    hy = dsm.ds_sum_tree(p.transpose(1, 0, 2), axis=0,
-                         lo=e.transpose(1, 0, 2))
-    hy = dsm.ds_add(hy, dsm.ds(jnp.einsum(
-        "ij,jk->ik", H_ds.lo, Wk, preferred_element_type=H_ds.lo.dtype)))
+    hy = _ds_matmul_cols(H_ds, Wk)
     tp, te = dsm.two_prod(Wk, w[None, :k])
     r = dsm.ds_sub(hy, DS(tp, te))
     r_f = r.hi + r.lo  # (m, k) — true residual magnitudes, well above eps²
-    c = jnp.dot(W.T, r_f, preferred_element_type=r_f.dtype)  # (m, k)
-    denom = w[:k][None, :] - w[:, None]  # (m, k): θ_j - θ_i
-    gap_floor = 16.0 * jnp.finfo(r_f.dtype).eps * (
-        jnp.abs(w[:k])[None, :] + 1.0)
-    safe = jnp.where(jnp.abs(denom) < gap_floor, jnp.inf, denom)
-    coef = c / safe
-    # Zero the self-term (and exact-degenerate partners via the floor).
-    eye_k = (jnp.arange(m)[:, None] == jnp.arange(k)[None, :])
-    coef = jnp.where(eye_k, 0.0, coef)
-    return Wk + jnp.dot(W, coef, preferred_element_type=W.dtype)
+    return _first_order_update(W, w, r_f, k)
+
+
+def refine_ritz_pencil(H_ds: DS, S_ds: DS, w, W, k: int):
+    """First-order refinement of the k wanted eigenvectors of the
+    projected PENCIL ``H y = θ S y``, beyond f32 accuracy.
+
+    W is S-orthonormal (``WᵀSW = I`` — DSYGV semantics, matching the
+    reference's always-generalized free engine,
+    ``/root/reference/src/davidson.f90:277-279``). With H and S both
+    held as DS pairs the small pencil residual ``r_j = H y_j − θ_j S y_j``
+    is computable to ~eps²; expanding ``δy_j = Σ cᵢ yᵢ`` and projecting
+    with ``yᵢᵀ`` (using ``yᵢᵀ H y_l = θ_i δᵢl`` and ``yᵢᵀ S y_l = δᵢl``
+    from S-orthonormality) gives the same update as the standard case,
+
+        y_j ← y_j + Σ_{i≠j} (yᵢᵀ r_j)/(θ_j − θ_i) yᵢ.
+    """
+    Wk = W[:, :k]
+    hy = _ds_matmul_cols(H_ds, Wk)
+    sy = _ds_matmul_cols(S_ds, Wk)
+    # θ_j * (S y)_j in DS.
+    tp, te = dsm.two_prod(sy.hi, w[None, :k])
+    tsy = DS(tp, te + sy.lo * w[None, :k])
+    r = dsm.ds_sub(hy, tsy)
+    r_f = r.hi + r.lo
+    return _first_order_update(W, w, r_f, k)
 
 
 class RefinedPairs(NamedTuple):

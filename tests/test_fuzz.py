@@ -93,21 +93,32 @@ def _feature_cases():
         cheb = int(cheb) if cheb != "auto" else "auto"
         dtype = str(rng.choice(["float64", "float32"]))
         expansion = str(rng.choice(["doubling", "lowest-k"]))
+        # Generalized pencils join the sweep (refined pencils are
+        # first-class); the Chebyshev filter is a polynomial in A alone,
+        # so gen forces cheb off (the config validation would raise).
+        gen = bool(rng.integers(0, 2))
+        if gen:
+            cheb = 0
         cases.append((i, n, k, method, refined, polish, locking, cheb,
-                      dtype, expansion))
+                      dtype, expansion, gen))
     return cases
 
 
 @pytest.mark.parametrize(
-    "seed,n,k,method,refined,polish,locking,cheb,dtype,expansion",
+    "seed,n,k,method,refined,polish,locking,cheb,dtype,expansion,gen",
     _feature_cases())
 def test_random_feature_combo(seed, n, k, method, refined, polish,
-                              locking, cheb, dtype, expansion):
+                              locking, cheb, dtype, expansion, gen):
     A = generate_diagonal_dominant(n, 1e-3, key=jax.random.PRNGKey(seed))
+    B = (generate_diagonal_dominant(n, 1e-3, diag_val=1.0,
+                                    key=jax.random.PRNGKey(seed + 300))
+         if gen else None)
     if dtype == "float32":
         A = jnp.asarray(np.asarray(A), jnp.float32)
+        B = None if B is None else jnp.asarray(np.asarray(B), jnp.float32)
     tol = 1e-8 if dtype == "float64" else 1e-5
-    res = fdt.eigensolve(A, k, method=method, tolerance=tol,
+    res = fdt.eigensolve(A, k, second_matrix=B, method=method,
+                         tolerance=tol,
                          max_iterations=400, dtype=dtype,
                          expansion=expansion, refined=refined,
                          final_polish=polish, locking=locking,
@@ -117,8 +128,12 @@ def test_random_feature_combo(seed, n, k, method, refined, polish,
     assert np.all(np.isfinite(vals)), "NaN/Inf eigenvalues"
     assert np.all(np.isfinite(np.asarray(res.residual_norms)))
     if bool(res.converged):
-        expected = scipy.linalg.eigh(np.asarray(A, np.float64),
-                                     eigvals_only=True)[:k]
+        A64 = np.asarray(A, np.float64)
+        if gen:
+            expected = scipy.linalg.eigh(A64, np.asarray(B, np.float64),
+                                         eigvals_only=True)[:k]
+        else:
+            expected = scipy.linalg.eigh(A64, eigvals_only=True)[:k]
         np.testing.assert_allclose(vals, expected,
                                    atol=1e-7 if dtype == "float64"
                                    else 5e-4)
@@ -131,7 +146,7 @@ def _sharded_cases():
         nmul = int(rng.integers(2, 30))        # n = 8 * nmul
         k = int(rng.integers(1, 4))
         gen = bool(rng.integers(0, 2))
-        refined = bool(rng.integers(0, 2)) and not gen
+        refined = bool(rng.integers(0, 2))
         dtype = str(rng.choice(["float64", "float32"]))
         cases.append((i, 8 * nmul, k, gen, refined, dtype))
     return cases
