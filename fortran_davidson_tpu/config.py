@@ -44,6 +44,22 @@ class DavidsonOptions:
         ``None`` chooses ``min(n, 128)`` (effectively exact for the small
         parity problems, bounded for large ones).
       gjd_inner_tol: relative residual tolerance of the inner GJD solve.
+        With the adaptive schedule (below) this is the FLOOR — the
+        tightest the inner solve is ever asked to go.
+      gjd_inner_schedule: "adaptive" (default) adds an outer-target
+        forcing term to the inner stop (inexact Jacobi-Davidson):
+        ``rtol_j = clip(0.01 * tolerance / ||r_j||, gjd_inner_tol,
+        1e-2)`` — the inner solve never works past the point where its
+        residual is invisible against the outer convergence test (1%
+        relative, or 1% of the outer tolerance absolute). Chosen by
+        measurement: schedules linked to the current outer residual
+        (eta ~ ||r|| or ||r||²) and looser endgame caps (0.1-0.5) both
+        cost outer iterations, which at scale are the expensive
+        currency. "fixed" uses ``gjd_inner_tol`` unconditionally.
+        Either way the inner MINRES stops early at its floating-point
+        attainable floor (a per-column no-progress cutoff — the
+        dominant saving at f32 scale, where late outer steps otherwise
+        grind the full inner cap with a flat residual).
       gjd_preconditioner: "none" (reference semantics — the reference's
         GJD has no preconditioning), "dpr" (floored symmetric diagonal
         scaling of the correction equation; can cut inner MINRES
@@ -142,6 +158,7 @@ class DavidsonOptions:
     sticky_convergence: bool = True
     gjd_inner_iters: Optional[int] = None
     gjd_inner_tol: float = 1e-12
+    gjd_inner_schedule: str = "adaptive"
     gjd_preconditioner: str = "none"
     n_reorth: int = 2
     relative_tolerance: bool = False
@@ -165,6 +182,9 @@ class DavidsonOptions:
         require(self.gjd_preconditioner in ("none", "dpr", "olsen"),
                 InvalidOptionsError,
                 f"unknown gjd_preconditioner {self.gjd_preconditioner!r}")
+        require(self.gjd_inner_schedule in ("adaptive", "fixed"),
+                InvalidOptionsError,
+                f"unknown gjd_inner_schedule {self.gjd_inner_schedule!r}")
         require(self.expansion in ("doubling", "lowest-k"),
                 InvalidOptionsError,
                 f"unknown expansion {self.expansion!r}")
@@ -200,6 +220,7 @@ class ResolvedConfig:
     sticky: bool
     gjd_inner_iters: int
     gjd_inner_tol: float
+    gjd_schedule: str
     gjd_precond: str
     n_reorth: int
     relative: bool
@@ -322,6 +343,7 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
         sticky=opts.sticky_convergence,
         gjd_inner_iters=int(inner),
         gjd_inner_tol=float(opts.gjd_inner_tol),
+        gjd_schedule=str(opts.gjd_inner_schedule),
         gjd_precond=str(opts.gjd_preconditioner),
         n_reorth=int(opts.n_reorth),
         relative=bool(opts.relative_tolerance),

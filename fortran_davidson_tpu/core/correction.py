@@ -116,7 +116,9 @@ def gjd_correction(apply_a: Callable, apply_b: Optional[Callable], lam, X, R,
       R: (n, m_max) residuals (inactive columns zero).
       mask: (m_max,) active-column mask.
       inner_iters: static cap on MINRES iterations.
-      inner_tol: relative residual tolerance of the inner solve.
+      inner_tol: relative residual tolerance of the inner solve — a
+        scalar, or a per-column (m_max,) array (the loop's adaptive
+        schedule passes outer-residual-linked tolerances).
       diag_a / diag_b: operator diagonals enabling the DPR scaling
         (``diag_b`` None means B = I for the scaling).
 

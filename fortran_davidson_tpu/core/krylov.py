@@ -33,6 +33,22 @@ def _safe_div(num, den):
     return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
 
 
+# Inner no-progress cutoff: consecutive iterations without >= 0.1%
+# cumulative residual improvement before a column is frozen at its
+# attainable floor. In f32 at scale the shifted projected operator's
+# MINRES stalls well above tight tolerances (measured: late-stage 10M
+# solves grind the full 128-iteration cap with a flat residual); the
+# cutoff converts that grind into an early exit with the same correction
+# quality. At a true floor the residual trend is FLAT, so the window
+# trips regardless of how fine the threshold is; the fine 1e-3 threshold
+# protects slow-but-real convergence (ill-conditioned inner systems make
+# steady ~0.1-0.5%/iter progress in long plateaus — cumulative progress
+# over the window resets the counter). f64 parity-scale solves converge
+# orders per iteration and never come near it.
+_STALL_WINDOW = 8
+_STALL_IMPROVEMENT = 1e-3
+
+
 def minres_block(matvec: Callable, B, *, maxiter: int, rtol: float,
                  col_active=None, return_iters: bool = False, atol=None):
     """Solve op(x_j) = b_j for every column j of B with batched MINRES.
@@ -42,7 +58,7 @@ def minres_block(matvec: Callable, B, *, maxiter: int, rtol: float,
         j-th (symmetric) operator of the batch.
       B: (n, m) right-hand sides.
       maxiter: static cap on MINRES iterations.
-      rtol: per-column relative residual tolerance (vs ||b_j||).
+      rtol: relative residual tolerance (vs ||b_j||) — scalar or (m,).
       col_active: optional (m,) float/bool mask; inactive columns return 0.
       atol: optional per-column ABSOLUTE residual tolerance (scalar or
         (m,)); stopping uses ``max(rtol * ||b_j||, atol_j)``. Warm-started
@@ -76,6 +92,8 @@ def minres_block(matvec: Callable, B, *, maxiter: int, rtol: float,
         cs=-jnp.ones((m,), dt), sn=zeros_m,
         active=active0,
         it=jnp.zeros((), jnp.int32),
+        best=beta1,
+        no_prog=jnp.zeros((m,), jnp.int32),
     )
 
     tol_abs = rtol * beta1
@@ -120,9 +138,14 @@ def minres_block(matvec: Callable, B, *, maxiter: int, rtol: float,
         w = (v - w1 * oldeps[None, :] - w2 * delta[None, :]) / gamma[None, :]
         x = st["x"] + w * (phi * act.astype(dt))[None, :]
 
-        # Freeze columns that converged or broke down (beta == 0 => the
-        # Krylov space is exhausted: exact solution reached).
-        still = act & (phibar > tol_abs) & (beta > 0)
+        # Freeze columns that converged, broke down (beta == 0 => the
+        # Krylov space is exhausted: exact solution reached), or stopped
+        # progressing (the f32 attainable floor — see _STALL_WINDOW).
+        improved = phibar < st["best"] * (1.0 - _STALL_IMPROVEMENT)
+        no_prog = jnp.where(improved, 0, st["no_prog"] + 1)
+        best = jnp.minimum(st["best"], phibar)
+        still = (act & (phibar > tol_abs) & (beta > 0)
+                 & (no_prog < _STALL_WINDOW))
 
         # Carry state forward only for active columns so frozen columns
         # keep their converged solution bit-exactly.
@@ -140,6 +163,8 @@ def minres_block(matvec: Callable, B, *, maxiter: int, rtol: float,
             cs=keep(cs, st["cs"]), sn=keep(sn, st["sn"]),
             active=still,
             it=st["it"] + 1,
+            best=keep(best, st["best"]),
+            no_prog=keep(no_prog, st["no_prog"]),
         )
 
     final = jax.lax.while_loop(cond, body, init)

@@ -346,9 +346,40 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                                                  diag_b, corr_mask)
             else:
                 precond = cfg.gjd_precond in ("dpr", "olsen")
+                if cfg.gjd_schedule == "adaptive":
+                    # Outer-target-linked inner forcing (inexact JD): the
+                    # inner solve stops at absolute residual eta_a * tol
+                    # or relative residual eta_r (whichever is looser,
+                    # via the clip below) — a correction accurate to
+                    # eta_r = 1% relative perturbs the next outer
+                    # residual by O(1%), invisible against both the
+                    # convergence test and the reference iteration-parity
+                    # pins. Looser schedules were MEASURED to cost outer
+                    # iterations: linking eta to the current ||r||
+                    # (eta ~ ||r|| or ||r||^2) broke small-problem parity
+                    # (one-shot JD corrections need near-exact inner
+                    # solves), and eta_r = 0.1..0.5 endgame looseness
+                    # cost 10 -> 18 outer iterations on a 400k f32 run.
+                    # The absolute leg is passed as a per-column RELATIVE
+                    # tolerance (MINRES rhs is the outer residual, so
+                    # rtol_j * ||r_j|| = eta_a * tol); far from
+                    # convergence the clip floors it at gjd_inner_tol —
+                    # effectively exact, with the stall cutoff in
+                    # `krylov.minres_block` handling the f32 attainable
+                    # floor at scale. (The reference's DSYSV solves every
+                    # inner system exactly, ``src/davidson.f90:719-732``.)
+                    tol_eff = cfg.tolerance * (
+                        jnp.maximum(jnp.abs(w[:kk]), 1.0) if cfg.relative
+                        else 1.0)
+                    rnorm = jnp.linalg.norm(R, axis=0)
+                    inner_tol = jnp.clip(
+                        0.01 * tol_eff / jnp.maximum(rnorm, 1e-30),
+                        cfg.gjd_inner_tol, 1e-2)
+                else:
+                    inner_tol = cfg.gjd_inner_tol
                 corr = corr_mod.gjd_correction(
                     A.matmat, B.matmat if gen else None, w[:kk], X, R,
-                    corr_mask, cfg.gjd_inner_iters, cfg.gjd_inner_tol,
+                    corr_mask, cfg.gjd_inner_iters, inner_tol,
                     diag_a=diag_a if precond else None,
                     diag_b=diag_b if (precond and gen) else None,
                     olsen_start=cfg.gjd_precond == "olsen",

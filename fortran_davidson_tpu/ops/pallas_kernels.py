@@ -294,13 +294,17 @@ _VMEM_BUDGET = 14 * 2**20  # leave headroom below the ~16 MB/core VMEM
 
 def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
                  x_item: int, b_item: int, out_item: int,
-                 min_tiles: int = 2):
+                 min_tiles: int = 2, gram_vmem: int = 0):
     """Pick (tile rows R, window-ring depth NB) under the VMEM budget.
 
     Larger tiles amortize the 2*bw window-overlap traffic and give the
     write ring bigger contiguous bursts (measured ~4% at R=16 vs R=8 on
     v5e); deeper window rings hide DMA jitter. Preference order: big R,
     deep NB.
+
+    ``gram_vmem``: extra per-R-row VMEM bytes the fused-gram variant
+    needs (the pipelined v tile, double-buffered) — charged as
+    ``gram_vmem * R`` plus the accumulator it carries.
     """
     for R in (16, 8):
         if nbr % R or nbr < min_tiles * R or bw >= R:
@@ -309,7 +313,8 @@ def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
             W = R + 2 * bw
             vmem = (NB * W * bs * mp * x_item          # window ring
                     + 2 * R * bs * K * bs * b_item     # block pipeline
-                    + _N_OUT_BUFFERS * R * bs * mp * out_item)  # out ring
+                    + _N_OUT_BUFFERS * R * bs * mp * out_item  # out ring
+                    + gram_vmem * R)                   # fused-gram v tile
             if vmem <= _VMEM_BUDGET:
                 return R, NB, W
     return None
@@ -390,6 +395,259 @@ def banded_bsr_spmm(blocks, x, *, bandwidth: int,
     )(blocks, x)
     out = out.reshape(nbr * bs, mp)
     return out[:, :m] if mp != m else out
+
+
+def _banded_gram_kernel(blocks_ref, v_ref, x_hbm, *rest, K: int, bw: int,
+                        W: int, nbr: int, R: int, write_out: bool,
+                        NB: int = _N_WINDOW_BUFFERS):
+    """Fused producer→consumer sweep: ``Y = A @ X`` and ``G = Vᵀ Y``.
+
+    The measured v5e bottleneck of the plain SpMM is the Mosaic VMEM→HBM
+    DMA *write* engine (~250-260 GB/s vs 786 GB/s reads — see
+    ``experiments/spmm_probe5.py`` / docs/ROADMAP.md "Write path"). The
+    escape is to consume the SpMM output while it is still in VMEM: each
+    output tile is contracted against the matching rows of a second tall
+    operand ``v`` on the MXU before (or instead of) leaving through the
+    write ring, so the iteration-level consumer (the Rayleigh-Ritz
+    projection block ``Vᵀ A V``, reference hot gemm
+    ``src/davidson.f90:131,159``) costs ZERO extra HBM traffic for Y and
+    one extra streaming read of ``v`` — reads are the cheap direction.
+    With ``write_out=False`` Y is never written at all: the sweep's
+    traffic is pure reads (blocks + window + v), the direction the
+    hardware sustains at ~96% of nominal.
+
+    ``v`` arrives as a normally pipelined VMEM input aligned with the
+    OUTPUT tile rows (no window overlap — the gram pairs v rows with Y
+    rows 1:1). The (mv, mp) gram block accumulates in a
+    constant-index-mapped VMEM output across the sequential TPU grid and
+    is written back once, on the last tile.
+    """
+    if write_out:
+        out_hbm, g_ref, xbuf, sem, obuf, osem = rest
+    else:
+        (g_ref, xbuf, sem) = rest
+        out_hbm = obuf = osem = None
+    bs = blocks_ref.shape[1]
+    tile = pl.program_id(0)
+    ntiles = pl.num_programs(0)
+    NBO = _N_OUT_BUFFERS
+    D = NB - 1
+    V = W - bw
+
+    def edge_top(slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(0, V * bs), :],
+            xbuf.at[slot, pl.ds(bw * bs, V * bs), :], sem.at[slot])
+
+    def edge_bottom(slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds((nbr - V) * bs, V * bs), :],
+            xbuf.at[slot, pl.ds(0, V * bs), :], sem.at[slot])
+
+    def interior(slot, t):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds((t * R - bw) * bs, W * bs), :],
+            xbuf.at[slot], sem.at[slot])
+
+    def start_window(slot, t):
+        @pl.when(t == 0)
+        def _():
+            edge_top(slot).start()
+
+        @pl.when(t == ntiles - 1)
+        def _():
+            edge_bottom(slot).start()
+
+        @pl.when((t > 0) & (t < ntiles - 1))
+        def _():
+            interior(slot, t).start()
+
+    def wait_window(slot, t):
+        @pl.when(t == 0)
+        def _():
+            edge_top(slot).wait()
+            xbuf[slot, 0:bw * bs, :] = jnp.zeros(
+                (bw * bs, xbuf.shape[2]), xbuf.dtype)
+
+        @pl.when(t == ntiles - 1)
+        def _():
+            edge_bottom(slot).wait()
+            xbuf[slot, V * bs:, :] = jnp.zeros(
+                (W * bs - V * bs, xbuf.shape[2]), xbuf.dtype)
+
+        @pl.when((t > 0) & (t < ntiles - 1))
+        def _():
+            interior(slot, t).wait()
+
+    def out_copy(oslot, t):
+        return pltpu.make_async_copy(
+            obuf.at[oslot], out_hbm.at[pl.ds(t * R, R)], osem.at[oslot])
+
+    slot = tile % NB
+    oslot = tile % NBO
+
+    @pl.when(tile == 0)
+    def _():
+        for d in range(min(D, ntiles)):
+            start_window(d % NB, d)
+        g_ref[:] = jnp.zeros(g_ref.shape, g_ref.dtype)
+
+    @pl.when(tile + D < ntiles)
+    def _():
+        start_window((tile + D) % NB, tile + D)
+
+    if write_out:
+        @pl.when(tile >= NBO)
+        def _():
+            out_copy(oslot, tile - NBO).wait()
+
+    wait_window(slot, tile)
+
+    for i in range(R):  # static unroll
+        y_i = jnp.dot(
+            blocks_ref[i], xbuf[slot, i * bs:(i + K) * bs, :],
+            preferred_element_type=_acc_dtype(blocks_ref.dtype))
+        if write_out:
+            obuf[oslot, i] = y_i.astype(obuf.dtype)
+        # Gram partial on the VMEM-resident tile: (bs, mv)ᵀ (bs, mp).
+        g_ref[:] += jax.lax.dot_general(
+            v_ref[pl.ds(i * bs, bs), :], y_i.astype(v_ref.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(g_ref.dtype)
+
+    if write_out:
+        out_copy(oslot, tile).start()
+
+        @pl.when(tile == ntiles - 1)
+        def _():
+            for d in range(min(NBO, ntiles)):
+                t_last = ntiles - 1 - d
+
+                @pl.when(t_last >= 0)
+                def _():
+                    out_copy(t_last % NBO, t_last).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("bandwidth", "write_out",
+                                             "interpret", "out_dtype"))
+def banded_bsr_spmm_gram(blocks, x, v=None, *, bandwidth: int,
+                         write_out: bool = True,
+                         interpret: bool | None = None, out_dtype=None):
+    """Fused banded SpMM + Gram: ``Y = A @ X``, ``G = Vᵀ Y`` in one sweep.
+
+    The Davidson hot pair — apply the operator, then project
+    (``Vᵀ (A V)``, reference ``src/davidson.f90:131,159``) — fused so the
+    SpMM output is consumed on the MXU while still in VMEM. Versus the
+    two-pass composition this removes one full HBM read of Y (and, with
+    ``write_out=False``, the Y *write* as well — the bandwidth-limited
+    direction on the measured v5e; see :func:`_banded_gram_kernel`).
+
+    Args:
+      blocks: (nbr, bs, K*bs) DIA-aligned row-major block layout.
+      x: (nbr * bs, m) — SpMM input block.
+      v: (nbr * bs, mv) — gram operand; ``None`` uses ``x`` itself
+        (G = Xᵀ A X, the Rayleigh-Ritz projection of the block).
+      write_out: also materialize Y to HBM (the cached-AV engines need
+        it); ``False`` returns only G — the pure-read sweep for
+        recompute-style consumers.
+
+    Returns:
+      ``(Y, G)`` with ``write_out=True``; ``G`` alone otherwise. G is
+      float32, shape (mv, m).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out_dtype = jnp.dtype(x.dtype if out_dtype is None else out_dtype)
+    nbr, bs, kbs = blocks.shape
+    K = kbs // bs
+    bw = int(bandwidth)
+    if not banded_pallas_supported(nbr, K, bw):
+        raise ValueError(
+            f"banded_bsr_spmm_gram needs K == 2*bw+1, bw < {_TILE_R}, "
+            f"nbr % {_TILE_R} == 0 and nbr >= {2 * _TILE_R}; "
+            f"got nbr={nbr}, K={K}, bw={bw}")
+    n_in, m = x.shape
+    if v is None:
+        v = x
+    mv = v.shape[1]
+    mp = max(128, -(-m // 128) * 128)
+    if mp != m:
+        x = jnp.pad(x, ((0, 0), (0, mp - m)))
+    mvp = max(128, -(-mv // 128) * 128)
+    if mvp != mv:
+        v = jnp.pad(v, ((0, 0), (0, mvp - mv)))
+
+    out_item = out_dtype.itemsize if write_out else 0
+    plan = _banded_plan(nbr, bs, K, bw, mp, x.dtype.itemsize,
+                        blocks.dtype.itemsize, out_item,
+                        gram_vmem=2 * bs * mvp * v.dtype.itemsize)
+    if plan is None:
+        raise ValueError(
+            f"banded_bsr_spmm_gram: no (tile, ring) plan fits VMEM for "
+            f"bs={bs}, K={K}, m={mp}, mv={mvp} — reduce the block width")
+    R, NB, W = plan
+
+    kernel = functools.partial(_banded_gram_kernel, K=K, bw=bw, W=W,
+                               nbr=nbr, R=R, NB=NB, write_out=write_out)
+    g_shape = jax.ShapeDtypeStruct((mvp, mp), jnp.float32)
+    in_specs = [
+        pl.BlockSpec((R, bs, K * bs), lambda r: (r, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R * bs, mvp), lambda r: (r, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    g_spec = pl.BlockSpec((mvp, mp), lambda r: (0, 0),
+                          memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((NB, W * bs, mp), x.dtype),
+        pltpu.SemaphoreType.DMA((NB,)),
+    ]
+    read_bytes = (blocks.size * blocks.dtype.itemsize
+                  + (nbr // R) * W * bs * mp * x.dtype.itemsize
+                  + nbr * bs * mvp * v.dtype.itemsize)
+    gram_flops = 2 * nbr * bs * mvp * mp
+    if write_out:
+        out = pl.pallas_call(
+            kernel,
+            grid=(nbr // R,),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY), g_spec],
+            scratch_shapes=scratch + [
+                pltpu.VMEM((_N_OUT_BUFFERS, R, bs, mp), out_dtype),
+                pltpu.SemaphoreType.DMA((_N_OUT_BUFFERS,)),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((nbr, bs, mp), out_dtype),
+                       g_shape],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * nbr * K * bs * bs * mp + gram_flops,
+                bytes_accessed=(read_bytes
+                                + nbr * bs * mp * out_dtype.itemsize
+                                + mvp * mp * 4),
+                transcendentals=0,
+            ),
+        )(blocks, v, x)
+        y, g = out
+        y = y.reshape(nbr * bs, mp)
+        return (y[:, :m] if mp != m else y), g[:mv, :m]
+    g = pl.pallas_call(
+        kernel,
+        grid=(nbr // R,),
+        in_specs=in_specs,
+        out_specs=g_spec,
+        scratch_shapes=scratch,
+        out_shape=g_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbr * K * bs * bs * mp + gram_flops,
+            bytes_accessed=read_bytes + mvp * mp * 4,
+            transcendentals=0,
+        ),
+    )(blocks, v, x)
+    return g[:mv, :m]
 
 
 def _banded_q_kernel(blocks_ref, srow_ref, diag_ref, x_hbm, out_hbm, xbuf,
@@ -583,6 +841,228 @@ def banded_q_bsr_spmm(qblocks, scale_rows, diag, x, *, bandwidth: int,
     )(qblocks, scale_rows, diag, x)
     out = out.reshape(nbr * bs, mp)
     return out[:, :m] if mp != m else out
+
+
+def _banded_q_gram_kernel(blocks_ref, srow_ref, diag_ref, v_ref, x_hbm,
+                          *rest, K: int, bw: int, W: int, nbr: int, R: int,
+                          write_out: bool, NB: int = _N_WINDOW_BUFFERS):
+    """int8-quantized fused SpMM + Gram (see :func:`_banded_gram_kernel`
+    for the fusion rationale and :func:`_banded_q_kernel` for the
+    quantization scheme). With int8 blocks the plain kernel's HBM write
+    of Y is an even larger FRACTION of total traffic, so consuming Y in
+    VMEM matters more."""
+    if write_out:
+        out_hbm, g_ref, xbuf, sem, obuf, osem = rest
+    else:
+        (g_ref, xbuf, sem) = rest
+        out_hbm = obuf = osem = None
+    bs = blocks_ref.shape[1]
+    tile = pl.program_id(0)
+    ntiles = pl.num_programs(0)
+    NBO = _N_OUT_BUFFERS
+    D = NB - 1
+    V = W - bw
+
+    def edge_top(slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(0, V * bs), :],
+            xbuf.at[slot, pl.ds(bw * bs, V * bs), :], sem.at[slot])
+
+    def edge_bottom(slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds((nbr - V) * bs, V * bs), :],
+            xbuf.at[slot, pl.ds(0, V * bs), :], sem.at[slot])
+
+    def interior(slot, t):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds((t * R - bw) * bs, W * bs), :],
+            xbuf.at[slot], sem.at[slot])
+
+    def start_window(slot, t):
+        @pl.when(t == 0)
+        def _():
+            edge_top(slot).start()
+
+        @pl.when(t == ntiles - 1)
+        def _():
+            edge_bottom(slot).start()
+
+        @pl.when((t > 0) & (t < ntiles - 1))
+        def _():
+            interior(slot, t).start()
+
+    def wait_window(slot, t):
+        @pl.when(t == 0)
+        def _():
+            edge_top(slot).wait()
+            xbuf[slot, 0:bw * bs, :] = jnp.zeros(
+                (bw * bs, xbuf.shape[2]), xbuf.dtype)
+
+        @pl.when(t == ntiles - 1)
+        def _():
+            edge_bottom(slot).wait()
+            xbuf[slot, V * bs:, :] = jnp.zeros(
+                (W * bs - V * bs, xbuf.shape[2]), xbuf.dtype)
+
+        @pl.when((t > 0) & (t < ntiles - 1))
+        def _():
+            interior(slot, t).wait()
+
+    def out_copy(oslot, t):
+        return pltpu.make_async_copy(
+            obuf.at[oslot], out_hbm.at[pl.ds(t * R, R)], osem.at[oslot])
+
+    slot = tile % NB
+    oslot = tile % NBO
+
+    @pl.when(tile == 0)
+    def _():
+        for d in range(min(D, ntiles)):
+            start_window(d % NB, d)
+        g_ref[:] = jnp.zeros(g_ref.shape, g_ref.dtype)
+
+    @pl.when(tile + D < ntiles)
+    def _():
+        start_window((tile + D) % NB, tile + D)
+
+    if write_out:
+        @pl.when(tile >= NBO)
+        def _():
+            out_copy(oslot, tile - NBO).wait()
+
+    wait_window(slot, tile)
+
+    for i in range(R):
+        w = blocks_ref[i].astype(jnp.float32) * srow_ref[i][None, :]
+        acc = jnp.dot(w, xbuf[slot, i * bs:(i + K) * bs, :],
+                      preferred_element_type=jnp.float32)
+        ctr = xbuf[slot, (i + bw) * bs:(i + bw + 1) * bs, :]
+        y_i = acc + diag_ref[i][:, None] * ctr.astype(jnp.float32)
+        if write_out:
+            obuf[oslot, i] = y_i.astype(obuf.dtype)
+        g_ref[:] += jax.lax.dot_general(
+            v_ref[pl.ds(i * bs, bs), :], y_i.astype(v_ref.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(g_ref.dtype)
+
+    if write_out:
+        out_copy(oslot, tile).start()
+
+        @pl.when(tile == ntiles - 1)
+        def _():
+            for d in range(min(NBO, ntiles)):
+                t_last = ntiles - 1 - d
+
+                @pl.when(t_last >= 0)
+                def _():
+                    out_copy(t_last % NBO, t_last).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("bandwidth", "write_out",
+                                             "interpret", "out_dtype"))
+def banded_q_bsr_spmm_gram(qblocks, scale_rows, diag, x, v=None, *,
+                           bandwidth: int, write_out: bool = True,
+                           interpret: bool | None = None, out_dtype=None):
+    """int8-quantized fused banded SpMM + Gram (``Y = A @ X``,
+    ``G = Vᵀ Y``). See :func:`banded_bsr_spmm_gram` for semantics and
+    :func:`banded_q_bsr_spmm` for the quantized storage format."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out_dtype = jnp.dtype(x.dtype if out_dtype is None else out_dtype)
+    nbr, bs, kbs = qblocks.shape
+    K = kbs // bs
+    bw = int(bandwidth)
+    if not banded_pallas_supported(nbr, K, bw):
+        raise ValueError(
+            f"banded_q_bsr_spmm_gram needs K == 2*bw+1, bw < {_TILE_R}, "
+            f"nbr % {_TILE_R} == 0 and nbr >= {2 * _TILE_R}; "
+            f"got nbr={nbr}, K={K}, bw={bw}")
+    n_in, m = x.shape
+    if v is None:
+        v = x
+    mv = v.shape[1]
+    mp = max(128, -(-m // 128) * 128)
+    if mp != m:
+        x = jnp.pad(x, ((0, 0), (0, mp - m)))
+    mvp = max(128, -(-mv // 128) * 128)
+    if mvp != mv:
+        v = jnp.pad(v, ((0, 0), (0, mvp - mv)))
+
+    b_item = 1 + 4 / bs + 4 / (K * bs)
+    out_item = out_dtype.itemsize if write_out else 0
+    plan = _banded_plan(nbr, bs, K, bw, mp, x.dtype.itemsize, b_item,
+                        out_item,
+                        gram_vmem=2 * bs * mvp * v.dtype.itemsize)
+    if plan is None:
+        raise ValueError(
+            f"banded_q_bsr_spmm_gram: no (tile, ring) plan fits VMEM for "
+            f"bs={bs}, K={K}, m={mp}, mv={mvp} — reduce the block width")
+    R, NB, W = plan
+
+    kernel = functools.partial(_banded_q_gram_kernel, K=K, bw=bw, W=W,
+                               nbr=nbr, R=R, NB=NB, write_out=write_out)
+    g_shape = jax.ShapeDtypeStruct((mvp, mp), jnp.float32)
+    in_specs = [
+        pl.BlockSpec((R, bs, K * bs), lambda r: (r, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, K * bs), lambda r: (r, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, bs), lambda r: (r, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R * bs, mvp), lambda r: (r, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    g_spec = pl.BlockSpec((mvp, mp), lambda r: (0, 0),
+                          memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((NB, W * bs, mp), x.dtype),
+        pltpu.SemaphoreType.DMA((NB,)),
+    ]
+    read_bytes = (qblocks.size + scale_rows.size * 4 + diag.size * 4
+                  + (nbr // R) * W * bs * mp * x.dtype.itemsize
+                  + nbr * bs * mvp * v.dtype.itemsize)
+    gram_flops = 2 * nbr * bs * mvp * mp
+    if write_out:
+        y, g = pl.pallas_call(
+            kernel,
+            grid=(nbr // R,),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY), g_spec],
+            scratch_shapes=scratch + [
+                pltpu.VMEM((_N_OUT_BUFFERS, R, bs, mp), out_dtype),
+                pltpu.SemaphoreType.DMA((_N_OUT_BUFFERS,)),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((nbr, bs, mp), out_dtype),
+                       g_shape],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * nbr * K * bs * bs * mp + gram_flops,
+                bytes_accessed=(read_bytes
+                                + nbr * bs * mp * out_dtype.itemsize
+                                + mvp * mp * 4),
+                transcendentals=0,
+            ),
+        )(qblocks, scale_rows, diag, v, x)
+        y = y.reshape(nbr * bs, mp)
+        return (y[:, :m] if mp != m else y), g[:mv, :m]
+    g = pl.pallas_call(
+        kernel,
+        grid=(nbr // R,),
+        in_specs=in_specs,
+        out_specs=g_spec,
+        scratch_shapes=scratch,
+        out_shape=g_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbr * K * bs * bs * mp + gram_flops,
+            bytes_accessed=read_bytes + mvp * mp * 4,
+            transcendentals=0,
+        ),
+    )(qblocks, scale_rows, diag, v, x)
+    return g[:mv, :m]
 
 
 def _banded_q_ext_kernel(blocks_ref, srow_ref, diag_ref, x_hbm, out_hbm,

@@ -355,6 +355,42 @@ class BSROperator(LinearOperator):
                          gathered, preferred_element_type=target)
         return out.reshape(nbr * bs, m).astype(target)
 
+    def matmat_with_gram(self, block, v=None, *, write_out: bool = True):
+        """Fused ``Y = A @ X`` and ``G = Vᵀ Y`` (``v=None`` → V = X).
+
+        The Davidson hot pair — operator application followed by the
+        Rayleigh-Ritz projection block (reference gemms
+        ``src/davidson.f90:131,159``) — executed in ONE HBM sweep when
+        the band shape supports the fused Pallas kernel: the SpMM output
+        is contracted on the MXU while still in VMEM, so the consumer
+        costs no extra HBM round trip of Y (and with
+        ``write_out=False``, Y's write — the measured v5e bandwidth
+        bottleneck — is skipped entirely; only G returns).
+
+        Falls back to the two-pass composition on unsupported shapes/
+        backends (identical math, f32 gram accumulation).
+        """
+        target = block.dtype
+        compute = self.dtype if jnp.dtype(self.dtype).itemsize < \
+            jnp.dtype(target).itemsize else target
+        vv = block if v is None else v
+        if self.backend == "pallas":
+            from fortran_davidson_tpu.ops.pallas_kernels import (
+                banded_bsr_spmm_gram, banded_pallas_supported)
+            bw = self.bandwidth
+            if bw is not None and banded_pallas_supported(
+                    self.n_block_rows, self.blocks_per_row, bw):
+                out = banded_bsr_spmm_gram(
+                    self.blocks.astype(compute), block.astype(compute),
+                    vv.astype(compute), bandwidth=bw,
+                    write_out=write_out, out_dtype=target)
+                return out
+        y = self.matmat(block)
+        g = jnp.einsum("nv,nm->vm", vv.astype(jnp.float32),
+                       y.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        return (y, g) if write_out else g
+
     def _blocks4(self):
         nbr, bs, kbs = self.blocks.shape
         return self.blocks.reshape(nbr, bs, kbs // bs, bs)
@@ -598,6 +634,29 @@ class QuantizedBandedOperator(LinearOperator):
         out = out + (self.diag[:, :, None].astype(jnp.float32)
                      * xb.astype(jnp.float32))
         return out.reshape(nbr * bs, -1).astype(target)
+
+    def matmat_with_gram(self, block, v=None, *, write_out: bool = True):
+        """Fused SpMM + Gram on int8 storage (see
+        :meth:`BSROperator.matmat_with_gram`). With int8 blocks the Y
+        write is an even larger fraction of the kernel's HBM traffic, so
+        the fusion win is proportionally bigger."""
+        from fortran_davidson_tpu.ops.pallas_kernels import (
+            banded_pallas_supported, banded_q_bsr_spmm_gram)
+        nbr, bs, kbs = self.qblocks.shape
+        K = kbs // bs
+        target = block.dtype
+        vv = block if v is None else v
+        if self.backend == "pallas" and banded_pallas_supported(
+                nbr, K, self.bandwidth):
+            return banded_q_bsr_spmm_gram(
+                self.qblocks, self.scale_rows, self.diag, block, vv,
+                bandwidth=self.bandwidth, write_out=write_out,
+                out_dtype=target)
+        y = self.matmat(block)
+        g = jnp.einsum("nv,nm->vm", vv.astype(jnp.float32),
+                       y.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        return (y, g) if write_out else g
 
     def diagonal(self):
         return self.diag.reshape(-1)
