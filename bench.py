@@ -331,6 +331,79 @@ def bench_bsr_spmm():
     return out
 
 
+def bench_remainder_path():
+    """Unstructured-remainder SpMM: uniformly padded ELL vs sliced
+    (SELL-σ) storage at a band fraction ≤ 0.9.
+
+    Unstructured gathers run at the fixed per-slot gather-engine rate
+    (~6e9 nnz/s measured on v5e), so the sliced layout's slot-count
+    reduction should convert ~proportionally to time. The structural
+    reduction (``gather_slots``) is reported alongside the measured one.
+    """
+    import numpy as np
+
+    from fortran_davidson_tpu.ops.sparse import (
+        ELLOperator, SlicedELLOperator, generate_local_sparse,
+        split_band_remainder)
+
+    on_tpu = jax.default_backend() == "tpu"
+    n = 1_000_000 if on_tpu else 20_000
+    # Locality tuned so the banded split lands near band fraction ~0.87
+    # (the target regime is <= 0.9): geometric off-diagonal distance with
+    # mean 95 vs a one-block-row band of 128.
+    rows, cols, vals = generate_local_sparse(
+        n, 12, locality=95.0, seed=7, dtype=jnp.float32)
+    h = split_band_remainder(rows, cols, vals, n, block_size=128,
+                             bandwidth=1, dtype=jnp.float32,
+                             remainder_format="sell")
+    sell = h.remainder
+    out = dict(n=n, band_fraction=h.band_fraction)
+    if sell is None:
+        out["error"] = "split left no remainder"
+        return out
+    # The uniformly padded strawman on the same entries.
+    r2, c2, v2 = [], [], []
+    for r, i, v in zip(sell.bucket_rows, sell.bucket_indices,
+                       sell.bucket_values):
+        keep = np.asarray(v) != 0
+        r2.append(np.broadcast_to(np.asarray(r)[:, None],
+                                  i.shape)[keep])
+        c2.append(np.asarray(i)[keep])
+        v2.append(np.asarray(v)[keep])
+    ell = ELLOperator.from_coo(np.concatenate(r2), np.concatenate(c2),
+                               np.concatenate(v2), sell.shape[0],
+                               dtype=jnp.float32)
+    out["ell_slots"] = int(ell.indices.size)
+    out["sell_slots"] = int(sell.gather_slots)
+    out["slot_reduction"] = out["ell_slots"] / max(out["sell_slots"], 1)
+    out["nnz"] = int(sell.nnz)
+
+    m = 8
+    x = jax.random.normal(jax.random.PRNGKey(3), (sell.shape[0], m),
+                          jnp.float32)
+    chain = 10 if on_tpu else 3
+
+    def run(op, y):
+        def body(_, y):
+            z = op.matmat(y)
+            # Scalar-only cross-iteration dependency (tunnel timing rule).
+            return y.at[0, 0].add(z[0, 0] * 1e-30)
+        return jax.lax.fori_loop(0, chain, body, y)
+
+    run_j = jax.jit(run)
+    for name, op in (("ell", ell), ("sell", sell)):
+        z = run_j(op, x)
+        float(z[0, 0])
+        t0 = time.perf_counter()
+        z = run_j(op, x)
+        float(z[0, 0])
+        out[f"{name}_s"] = (time.perf_counter() - t0) / chain
+    if out.get("ell_s") and out.get("sell_s"):
+        out["measured_speedup"] = out["ell_s"] / out["sell_s"]
+        out["sell_slots_per_s"] = out["sell_slots"] / out["sell_s"]
+    return out
+
+
 def bench_davidson_solve():
     """End-to-end: lowest-3 of a 1M-row matrix-free surrogate (f32)."""
     from fortran_davidson_tpu import eigensolve
@@ -440,9 +513,14 @@ def main():
         solve = bench_davidson_solve()
     except Exception as e:  # noqa: BLE001
         solve = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+    try:
+        remainder = bench_remainder_path()
+    except Exception as e:  # noqa: BLE001
+        remainder = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
 
     details = {
         "davidson_1M_matrix_free": solve,
+        "remainder_path": remainder,
         "device": info,
         "backend": jax.default_backend(),
     }

@@ -19,7 +19,8 @@ from fortran_davidson_tpu.ops.operators import (
     as_operator,
     from_element_fn,
 )
-from fortran_davidson_tpu.ops.sparse import BSROperator, ELLOperator
+from fortran_davidson_tpu.ops.sparse import (BSROperator, ELLOperator,
+                                              SlicedELLOperator)
 from fortran_davidson_tpu.solver import (eigensolve,
                                          generalized_eigensolver,
                                          polish_eigenpairs)
@@ -33,6 +34,7 @@ __all__ = [
     "DenseOperator",
     "DiagonalOperator",
     "ELLOperator",
+    "SlicedELLOperator",
     "LinearOperator",
     "MatrixFreeOperator",
     "as_operator",

@@ -11,6 +11,7 @@ from fortran_davidson_tpu.ops.sparse import (
     ELLOperator,
     HybridBandedOperator,
     QuantizedBandedOperator,
+    SlicedELLOperator,
     generate_banded_bsr,
     generate_local_sparse,
     generate_sparse_diagonal_dominant,
@@ -22,6 +23,7 @@ __all__ = [
     "BSROperator",
     "HybridBandedOperator",
     "QuantizedBandedOperator",
+    "SlicedELLOperator",
     "quantize_banded_int8",
     "generate_local_sparse",
     "split_band_remainder",

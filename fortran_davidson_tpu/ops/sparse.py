@@ -45,8 +45,9 @@ from fortran_davidson_tpu.ops.operators import LinearOperator
 from fortran_davidson_tpu.utils.errors import OperatorError, require
 
 
-def _ell_from_coo_np(rows, cols, vals, n, pad_width: Optional[int] = None):
-    """Host-side COO -> padded ELL conversion (duplicates are summed)."""
+def _coo_dedup_np(rows, cols, vals, n):
+    """Host-side COO canonicalization: range check, row-major sort,
+    duplicate summing. Shared by the padded-ELL and sliced-ELL builders."""
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals)
@@ -60,13 +61,18 @@ def _ell_from_coo_np(rows, cols, vals, n, pad_width: Optional[int] = None):
             f"[{cols.min()}, {cols.max()}]")
     order = np.lexsort((cols, rows))
     rows, cols, vals = rows[order], cols[order], vals[order]
-    # Sum duplicates.
     if len(rows):
         key = rows * n + cols
         uniq, inv = np.unique(key, return_inverse=True)
         summed = np.zeros(len(uniq), vals.dtype)
         np.add.at(summed, inv, vals)
         rows, cols, vals = uniq // n, uniq % n, summed
+    return rows, cols, vals
+
+
+def _ell_from_coo_np(rows, cols, vals, n, pad_width: Optional[int] = None):
+    """Host-side COO -> padded ELL conversion (duplicates are summed)."""
+    rows, cols, vals = _coo_dedup_np(rows, cols, vals, n)
     counts = np.bincount(rows, minlength=n)
     L = int(counts.max()) if len(rows) else 1
     if pad_width is not None:
@@ -157,32 +163,14 @@ class ELLOperator(LinearOperator):
     def nnz_per_row(self) -> int:
         return self.indices.shape[1]
 
+    @property
+    def nnz(self) -> int:
+        """Stored nonzero count (host-side)."""
+        return int(np.count_nonzero(np.asarray(self.values)))
+
     def matmat(self, block):
-        n, L = self.indices.shape
-        m = block.shape[1]
-        dt = block.dtype
-        c = max(1, min(self.chunk, L))
-        nfull, rem = divmod(L, c)
-
-        def piece(idx, val):
-            gathered = jnp.take(block, idx, axis=0)       # (n, c, m)
-            return jnp.einsum("nl,nlm->nm", val.astype(dt), gathered)
-
-        out = jnp.zeros((n, m), dt)
-        if nfull:
-            idx3 = self.indices[:, : nfull * c].reshape(n, nfull, c)
-            val3 = self.values[:, : nfull * c].reshape(n, nfull, c)
-
-            def body(i, acc):
-                idx = jax.lax.dynamic_index_in_dim(idx3, i, 1, keepdims=False)
-                val = jax.lax.dynamic_index_in_dim(val3, i, 1, keepdims=False)
-                return acc + piece(idx, val)
-
-            out = jax.lax.fori_loop(0, nfull, body, out)
-        if rem:
-            out = out + piece(self.indices[:, nfull * c:],
-                              self.values[:, nfull * c:])
-        return out
+        return _ell_chunked_apply(self.indices, self.values, block,
+                                  self.chunk)
 
     def diagonal(self):
         n = self.indices.shape[0]
@@ -211,6 +199,240 @@ class ELLOperator(LinearOperator):
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         obj.indices, obj.values = children
+        (obj.chunk,) = aux
+        return obj
+
+
+def _ell_chunked_apply(indices, values, block, chunk):
+    """Chunked gather + einsum over one fixed-width slot table.
+
+    ``indices``/``values``: (r, L); returns (r, m). The shared inner
+    SpMM of :class:`ELLOperator` and :class:`SlicedELLOperator` —
+    static-shape work whose peak temporary is (r, chunk, m).
+    """
+    r, L = indices.shape
+    m = block.shape[1]
+    dt = block.dtype
+    c = max(1, min(chunk, L))
+    nfull, rem = divmod(L, c)
+
+    def piece(idx, val):
+        gathered = jnp.take(block, idx, axis=0)           # (r, c, m)
+        return jnp.einsum("nl,nlm->nm", val.astype(dt), gathered)
+
+    out = jnp.zeros((r, m), dt)
+    if nfull:
+        idx3 = indices[:, : nfull * c].reshape(r, nfull, c)
+        val3 = values[:, : nfull * c].reshape(r, nfull, c)
+
+        def body(i, acc):
+            idx = jax.lax.dynamic_index_in_dim(idx3, i, 1, keepdims=False)
+            val = jax.lax.dynamic_index_in_dim(val3, i, 1, keepdims=False)
+            return acc + piece(idx, val)
+
+        out = jax.lax.fori_loop(0, nfull, body, out)
+    if rem:
+        out = out + piece(indices[:, nfull * c:], values[:, nfull * c:])
+    return out
+
+
+@jax.tree_util.register_pytree_node_class
+class SlicedELLOperator(LinearOperator):
+    """Row-length-sorted sliced ELL (SELL-σ with a global sort, σ = n).
+
+    The plain :class:`ELLOperator` pads EVERY row to the longest row's
+    width, and on TPU each padded slot costs real gather-engine work —
+    the measured unstructured-gather rate (~6e9 nnz/s on v5e) is per
+    gathered SLOT, padding included. Physically meaningful remainders
+    (what is left after the banded split, ``split_band_remainder``) are
+    extremely skewed: most rows hold zero or a couple of stray couplings
+    while a handful hold many, so padded-ELL gather traffic is dominated
+    by zeros.
+
+    This operator sorts rows by stored-entry count and groups them into
+    contiguous BUCKETS of power-of-two width, each padded only to its
+    own width (≤ 2x internal waste); rows with no entries are dropped
+    from the compute entirely. One final ``n``-row gather maps the
+    concatenated bucket outputs back to the original row order, so no
+    scatter appears in the hot path. Gather traffic falls from
+    ``n * L_max`` slots to ``Σ_b rows_b * 2^b + n``.
+
+    The reference's analogue is the on-the-fly dense row loop
+    (``src/davidson.f90:559-567``) — it has no sparse storage at all;
+    this is the TPU-shaped answer for the unstructured tail.
+
+    Static shapes throughout: the bucket layout is fixed at construction
+    (host-side numpy), so ``jit`` sees a handful of fixed-width gathers.
+    """
+
+    def __init__(self, bucket_rows, bucket_indices, bucket_values,
+                 gather_map, chunk: int = 8):
+        bucket_rows = tuple(jnp.asarray(r, jnp.int32) for r in bucket_rows)
+        bucket_indices = tuple(jnp.asarray(i, jnp.int32)
+                               for i in bucket_indices)
+        bucket_values = tuple(jnp.asarray(v) for v in bucket_values)
+        require(len(bucket_rows) == len(bucket_indices)
+                == len(bucket_values) > 0,
+                OperatorError, "sliced ELL needs >= 1 (rows, idx, val) "
+                "bucket triple (an empty (0, 1) bucket is fine)")
+        for r, i, v in zip(bucket_rows, bucket_indices, bucket_values):
+            require(i.shape == v.shape and i.ndim == 2
+                    and r.shape == i.shape[:1], OperatorError,
+                    f"bucket shape mismatch: rows {r.shape}, idx "
+                    f"{i.shape}, val {v.shape}")
+        self.bucket_rows = bucket_rows
+        self.bucket_indices = bucket_indices
+        self.bucket_values = bucket_values
+        # gather_map[i] = position of row i in the concatenated bucket
+        # output, or the appended all-zero row for empty rows.
+        self.gather_map = jnp.asarray(gather_map, jnp.int32)
+        self.chunk = int(chunk)
+
+    # -- constructors ---------------------------------------------------
+    @classmethod
+    def from_coo(cls, rows, cols, vals, n: int, dtype=jnp.float64,
+                 chunk: int = 8):
+        """Build from COO triplets (duplicates summed, host-side)."""
+        vals_np = np.asarray(vals, np.dtype(jnp.dtype(dtype).name))
+        rows, cols, vals_np = _coo_dedup_np(
+            np.asarray(rows), np.asarray(cols), vals_np, n)
+        counts = np.bincount(rows, minlength=n)
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+
+        nz_rows = np.nonzero(counts)[0]
+        # Power-of-two bucket widths: rows with count in (2^(k-1), 2^k]
+        # share a bucket, bounding internal padding at 2x while keeping
+        # the number of compiled gather widths at log2(L_max).
+        widths = (1 << np.ceil(np.log2(np.maximum(
+            counts[nz_rows], 1))).astype(np.int64)) if len(nz_rows) else \
+            np.zeros(0, np.int64)
+        b_rows, b_idx, b_val = [], [], []
+        positions = np.full(n, -1, np.int64)
+        pos = 0
+        for w in sorted(set(widths.tolist()), reverse=True):
+            sel = np.sort(nz_rows[widths == w])
+            idx_b = np.tile(sel[:, None], (1, w)).astype(np.int64)
+            val_b = np.zeros((len(sel), w), vals_np.dtype)
+            for j, r in enumerate(sel):
+                c_r = counts[r]
+                idx_b[j, :c_r] = cols[starts[r]:starts[r] + c_r]
+                val_b[j, :c_r] = vals_np[starts[r]:starts[r] + c_r]
+            b_rows.append(sel.astype(np.int32))
+            b_idx.append(idx_b.astype(np.int32))
+            b_val.append(val_b)
+            positions[sel] = pos + np.arange(len(sel))
+            pos += len(sel)
+        if not b_rows:  # no stored entries at all: one empty bucket
+            b_rows = [np.zeros(0, np.int32)]
+            b_idx = [np.zeros((0, 1), np.int32)]
+            b_val = [np.zeros((0, 1), vals_np.dtype)]
+        gather_map = np.where(positions >= 0, positions, pos)
+        return cls(b_rows, b_idx, b_val, gather_map, chunk=chunk)
+
+    @classmethod
+    def from_ell(cls, op: ELLOperator):
+        """Re-slice an existing padded ELL operator (host-side)."""
+        idx = np.asarray(op.indices)
+        val = np.asarray(op.values)
+        n = idx.shape[0]
+        keep = val != 0
+        rows = np.broadcast_to(np.arange(n)[:, None], idx.shape)[keep]
+        return cls.from_coo(rows, idx[keep], val[keep], n,
+                            dtype=val.dtype, chunk=op.chunk)
+
+    def to_ell(self) -> ELLOperator:
+        """Host-side conversion back to the uniformly padded layout.
+
+        The GSPMD row-sharded path needs it: a (n, L) table partitions
+        by rows with no cross-shard output movement, while the sliced
+        layout's unsort gather would cross shards.
+        """
+        r2, c2, v2 = [], [], []
+        for r, i, v in zip(self.bucket_rows, self.bucket_indices,
+                           self.bucket_values):
+            keep = np.asarray(v) != 0
+            r2.append(np.broadcast_to(
+                np.asarray(r)[:, None], i.shape)[keep])
+            c2.append(np.asarray(i)[keep])
+            v2.append(np.asarray(v)[keep])
+        n = int(self.gather_map.shape[0])
+        return ELLOperator.from_coo(
+            np.concatenate(r2) if r2 else np.zeros(0, np.int64),
+            np.concatenate(c2) if c2 else np.zeros(0, np.int64),
+            np.concatenate(v2) if v2 else np.zeros(0, self.dtype),
+            n, dtype=self.dtype, chunk=self.chunk)
+
+    # -- LinearOperator -------------------------------------------------
+    @property
+    def shape(self):
+        n = self.gather_map.shape[0]
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.bucket_values[0].dtype
+
+    @property
+    def nnz(self) -> int:
+        """Stored nonzero count (host-side)."""
+        return sum(int(np.count_nonzero(np.asarray(v)))
+                   for v in self.bucket_values)
+
+    @property
+    def gather_slots(self) -> int:
+        """Static gather traffic per SpMM, in slots (the padded-ELL
+        equivalent is ``n * L_max``). Includes the final unsort gather."""
+        return (sum(int(i.shape[0]) * int(i.shape[1])
+                    for i in self.bucket_indices)
+                + int(self.gather_map.shape[0]))
+
+    def matmat(self, block):
+        m = block.shape[1]
+        dt = block.dtype
+        outs = [_ell_chunked_apply(i, v, block, self.chunk)
+                for i, v in zip(self.bucket_indices, self.bucket_values)]
+        outs.append(jnp.zeros((1, m), dt))      # empty-row target
+        stacked = jnp.concatenate(outs, axis=0)
+        return jnp.take(stacked, self.gather_map, axis=0)
+
+    def diagonal(self):
+        n = self.gather_map.shape[0]
+        d = jnp.zeros((n,), self.dtype)
+        for r, i, v in zip(self.bucket_rows, self.bucket_indices,
+                           self.bucket_values):
+            on_diag = i == r[:, None]
+            d = d.at[r].add(jnp.sum(jnp.where(on_diag, v, 0), axis=1))
+        return d
+
+    def offdiag(self) -> "SlicedELLOperator":
+        """Exact off-diagonal split: stored diagonal slots zeroed."""
+        vals = tuple(
+            jnp.where(i == r[:, None], 0, v)
+            for r, i, v in zip(self.bucket_rows, self.bucket_indices,
+                               self.bucket_values))
+        return SlicedELLOperator(self.bucket_rows, self.bucket_indices,
+                                 vals, self.gather_map, chunk=self.chunk)
+
+    def to_dense(self):
+        n = self.gather_map.shape[0]
+        dense = jnp.zeros((n, n), self.dtype)
+        for r, i, v in zip(self.bucket_rows, self.bucket_indices,
+                           self.bucket_values):
+            dense = dense.at[r[:, None], i].add(v)
+        return dense
+
+    # -- pytree ----------------------------------------------------------
+    def tree_flatten(self):
+        children = (self.bucket_rows, self.bucket_indices,
+                    self.bucket_values, self.gather_map)
+        return children, (self.chunk,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        (obj.bucket_rows, obj.bucket_indices, obj.bucket_values,
+         obj.gather_map) = children
         (obj.chunk,) = aux
         return obj
 
@@ -742,8 +964,8 @@ class HybridBandedOperator(LinearOperator):
     Build with :func:`split_band_remainder`.
     """
 
-    def __init__(self, band: BSROperator, remainder: Optional[ELLOperator],
-                 perm=None):
+    def __init__(self, band: BSROperator, remainder=None, perm=None):
+        # ``remainder``: ELLOperator or SlicedELLOperator (or None).
         require(remainder is None or band.shape == remainder.shape,
                 OperatorError, "band/remainder shapes differ")
         self.band = band
@@ -767,8 +989,7 @@ class HybridBandedOperator(LinearOperator):
         """Fraction of stored values captured by the banded part (host)."""
         band_nnz = float(np.count_nonzero(np.asarray(self.band.blocks)))
         rem_nnz = (0.0 if self.remainder is None
-                   else float(np.count_nonzero(np.asarray(
-                       self.remainder.values))))
+                   else float(self.remainder.nnz))
         total = band_nnz + rem_nnz
         return band_nnz / total if total else 1.0
 
@@ -824,9 +1045,10 @@ def split_band_remainder(rows, cols, vals, n: int, *, block_size: int = 128,
                          backend: str = "xla", chunk: int = 8,
                          pad_diag: Optional[float] = None,
                          block_rows_multiple: int = 1,
-                         reorder: Optional[str] = None
+                         reorder: Optional[str] = None,
+                         remainder_format: str = "sell"
                          ) -> HybridBandedOperator:
-    """Split COO triplets into a DIA banded BSR part plus an ELL remainder.
+    """Split COO triplets into a DIA banded BSR part plus a sparse remainder.
 
     Entries with ``|i//bs - j//bs| <= bandwidth`` land in the banded part
     (dense ``bs x bs`` blocks, DIA-aligned slots — the windowed Pallas
@@ -852,7 +1074,17 @@ def split_band_remainder(rows, cols, vals, n: int, *, block_size: int = 128,
     The returned operator represents ``P A Pᵀ``; map eigenvectors back
     with :meth:`HybridBandedOperator.unpermute` (the solved eigenVALUES
     are permutation-invariant).
+
+    ``remainder_format``: ``"sell"`` (default) stores the off-band tail
+    as a :class:`SlicedELLOperator` — rows sorted by stray-entry count
+    into power-of-two-width buckets, so gather traffic scales with the
+    remainder's ACTUAL nnz instead of ``n * max_row_nnz`` (remainders
+    are skewed: a few rows hold most stray couplings). ``"ell"`` keeps
+    the uniformly padded :class:`ELLOperator`.
     """
+    require(remainder_format in ("sell", "ell"), OperatorError,
+            f"unknown remainder_format {remainder_format!r} "
+            "(supported: 'sell', 'ell')")
     bs = block_size
     bw = bandwidth
     K = 2 * bw + 1
@@ -905,9 +1137,11 @@ def split_band_remainder(rows, cols, vals, n: int, *, block_size: int = 128,
 
     # Remainder: whatever falls outside the block band.
     if np.any(~in_band):
-        remainder = ELLOperator.from_coo(rows[~in_band], cols[~in_band],
-                                         vals[~in_band], n_pad,
-                                         dtype=dtype, chunk=chunk)
+        rem_cls = (SlicedELLOperator if remainder_format == "sell"
+                   else ELLOperator)
+        remainder = rem_cls.from_coo(rows[~in_band], cols[~in_band],
+                                     vals[~in_band], n_pad,
+                                     dtype=dtype, chunk=chunk)
     else:
         remainder = None
     return HybridBandedOperator(band, remainder, perm=perm)

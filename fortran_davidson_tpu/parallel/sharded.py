@@ -39,6 +39,7 @@ from fortran_davidson_tpu.ops.operators import (DenseOperator,
                                                 as_operator)
 from fortran_davidson_tpu.ops.sparse import (BSROperator, ELLOperator,
                                              HybridBandedOperator,
+                                             SlicedELLOperator,
                                              QuantizedBandedOperator)
 from fortran_davidson_tpu.parallel.mesh import ROWS_AXIS, row_sharding
 from fortran_davidson_tpu.utils.dtypes import canonical_dtype
@@ -114,6 +115,12 @@ def shard_operator(op: LinearOperator, mesh: Mesh,
         return DiagonalOperator(put(op.diag))
     if isinstance(op, ELLOperator):
         return ELLOperator(put(op.indices), put(op.values), chunk=op.chunk)
+    if isinstance(op, SlicedELLOperator):
+        # The sliced layout's unsort gather crosses shards; the uniform
+        # (n, L) table row-shards with no output movement — convert.
+        ell = op.to_ell()
+        return ELLOperator(put(ell.indices), put(ell.values),
+                           chunk=ell.chunk)
     if isinstance(op, HybridBandedOperator):
         band = shard_operator(op.band, mesh, axis)
         rem = (None if op.remainder is None
