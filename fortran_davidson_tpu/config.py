@@ -148,9 +148,23 @@ class DavidsonOptions:
         default: the reference corrects every pair every iteration
         (``src/davidson.f90:199``), and iteration-count parity requires
         that schedule.
+      carry_layout: storage layout of the tall basis/cache carries
+        (V, AV, BV) inside the solver loop. ``"flat"`` (default) keeps
+        ``(n, m_max)``; ``"chunked"`` stores them pre-chunked as
+        ``(n/c, c, m_max)`` — the exact layout the compensated Gram's
+        batched einsum consumes — so the ``(n, m) -> (n/c, c, m)``
+        relayout copies that dominate the refined iteration at scale
+        (~24 ms per (10M, 44) operand on the measured v5e, 2 copies per
+        iteration after CSE; see docs/ROADMAP.md "Layout wall") never
+        appear in the graph. Every consumer contracts with the same
+        per-element order, so trajectories are BIT-IDENTICAL to the
+        flat layout (tests pin this). Requires ``refined=True``;
+        single-device engines only (the GSPMD sharded path keeps flat
+        row-sharded carries).
     """
 
     method: str = "DPR"
+    carry_layout: str = "flat"
     max_iterations: int = 1000
     tolerance: float = 1e-8
     max_dim_sub: Optional[int] = None
@@ -198,6 +212,14 @@ class DavidsonOptions:
                     and self.cheb_degree >= 0),
                 InvalidOptionsError,
                 "cheb_degree must be a non-negative int or 'auto'")
+        require(self.carry_layout in ("flat", "chunked"),
+                InvalidOptionsError,
+                f"unknown carry_layout {self.carry_layout!r}")
+        require(self.carry_layout == "flat" or self.refined,
+                InvalidOptionsError,
+                "carry_layout='chunked' requires refined=True (the "
+                "chunked form is bit-identical only through the "
+                "compensated-Gram pipeline)")
         require(self.final_polish >= 0, InvalidOptionsError,
                 "final_polish must be >= 0")
         require(self.final_polish == 0 or self.refined, InvalidOptionsError,
@@ -236,6 +258,7 @@ class ResolvedConfig:
     cheb_degree: int = 0
     cheb_auto: bool = False
     final_polish: int = 0
+    carry_layout: str = "flat"
 
 
 def merge_options(options: Optional[DavidsonOptions],
@@ -361,6 +384,7 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
         cheb_degree=0 if cheb_auto else int(opts.cheb_degree),
         cheb_auto=cheb_auto,
         final_polish=int(opts.final_polish),
+        carry_layout=str(opts.carry_layout),
     )
 
 

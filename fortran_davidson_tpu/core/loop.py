@@ -107,6 +107,16 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
         BV0 = B.matmat(V0) if gen else None
         spec_ub = (chebyshev.lanczos_upper_bound(A.matmat, n, dt)
                    if (cfg.cheb_degree >= 2 or cfg.cheb_auto) else None)
+    if cfg.carry_layout == "chunked":
+        # Store the tall carries pre-chunked as (n/c, c, m_max) — the
+        # layout the compensated Gram consumes — so the per-iteration
+        # relayout copies never exist (see DavidsonOptions.carry_layout).
+        # c matches gram_ds's default chunk for bit-identical reductions.
+        from fortran_davidson_tpu.utils.ds import _chunk
+        c = _chunk(n, None)
+        V0 = V0.reshape(n // c, c, m_max)
+        AV0 = AV0.reshape(n // c, c, m_max)
+        BV0 = None if BV0 is None else BV0.reshape(n // c, c, m_max)
     state = dict(
         V=V0,
         AV=AV0,
@@ -169,6 +179,35 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
     diag_a = A.diagonal().astype(dt)
     diag_b = B.diagonal().astype(dt) if gen else jnp.ones((n,), dt)
 
+    chunked = cfg.carry_layout == "chunked"
+    if chunked:
+        if constrain is not None:
+            raise ValueError(
+                "carry_layout='chunked' is single-device only: the GSPMD "
+                "sharded engine keeps flat row-sharded carries")
+        from fortran_davidson_tpu.utils.ds import _chunk
+        c_carry = _chunk(n, None)
+
+    def t_chunk(X):
+        """Flat (n, b) -> carry layout (free on the flat layout)."""
+        if not chunked:
+            return X
+        return X.reshape(n // c_carry, c_carry, X.shape[-1])
+
+    def t_dot(Tc, Wsm):
+        """Carry @ (m, b) -> FLAT (n, b); contraction order matches
+        ``jnp.dot`` per element, so results are bit-identical."""
+        if not chunked:
+            return jnp.dot(Tc, Wsm, preferred_element_type=dt)
+        out = jnp.einsum("rcm,mk->rck", Tc, Wsm,
+                         preferred_element_type=dt)
+        return out.reshape(n, Wsm.shape[-1])
+
+    def gram_carry(Xc, Yc):
+        """Compensated Gram on carries (bit-identical either layout)."""
+        from fortran_davidson_tpu.utils.ds import gram_ds, gram_ds_pre
+        return gram_ds_pre(Xc, Yc) if chunked else gram_ds(Xc, Yc)
+
     def cond(st):
         # `stalled`: a lowest-k expansion admitted ZERO new columns below
         # the subspace cap — the state is then an exact fixed point of
@@ -206,9 +245,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             # projected residual — of the SAME penalized matrix the eigh
             # diagonalized — removes that floor at O(m²k) cost.
             from fortran_davidson_tpu.core import refine as _refine
-            from fortran_davidson_tpu.utils.ds import (DS, gram_ds,
-                                                       two_sum)
-            H_ds = gram_ds(V, AV)
+            from fortran_davidson_tpu.utils.ds import DS, two_sum
+            H_ds = gram_carry(V, AV)
             H = H_ds.hi + H_ds.lo
             pen = jnp.diag(subspace._pad_penalties(H, mask))
             w, W = jnp.linalg.eigh(H + pen)
@@ -225,9 +263,9 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             # H y - θ S y — the same mechanism that removes the
             # ~eps*||H|| f32-eigh floor on the standard path.
             from fortran_davidson_tpu.core import refine as _refine
-            from fortran_davidson_tpu.utils.ds import DS, gram_ds, two_sum
-            H_ds = gram_ds(V, AV)
-            S_ds = gram_ds(V, BV)
+            from fortran_davidson_tpu.utils.ds import DS, two_sum
+            H_ds = gram_carry(V, AV)
+            S_ds = gram_carry(V, BV)
             H = H_ds.hi + H_ds.lo
             S = S_ds.hi + S_ds.lo
             w, W = subspace.masked_generalized_eigh(H, S, mask)
@@ -259,9 +297,9 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         kk = k if cfg.expansion == "lowest-k" else m_max
         Wk = W[:, :kk]
         pmk = pair_mask[:kk]
-        X = jnp.dot(V, Wk, preferred_element_type=dt) * pmk[None, :]
-        AXW = jnp.dot(AV, Wk, preferred_element_type=dt)
-        BXW = jnp.dot(BV, Wk, preferred_element_type=dt) if gen else X
+        X = t_dot(V, Wk) * pmk[None, :]
+        AXW = t_dot(AV, Wk)
+        BXW = t_dot(BV, Wk) if gen else X
         R = (AXW - BXW * w[:kk][None, :]) * pmk[None, :]
 
         if precise:
@@ -458,16 +496,22 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 # are the scarce HBM resource on the measured v5e). The
                 # basis stays a hole-free prefix via the live count.
                 z0 = jnp.zeros((), m.dtype)
-                V2 = jax.lax.dynamic_update_slice(V, Q, (z0, m))
-                AV2 = jax.lax.dynamic_update_slice(AV, AQ, (z0, m))
+                if chunked:
+                    V2 = jax.lax.dynamic_update_slice(
+                        V, t_chunk(Q), (z0, z0, m))
+                    AV2 = jax.lax.dynamic_update_slice(
+                        AV, t_chunk(AQ), (z0, z0, m))
+                else:
+                    V2 = jax.lax.dynamic_update_slice(V, Q, (z0, m))
+                    AV2 = jax.lax.dynamic_update_slice(AV, AQ, (z0, m))
                 ok2 = jax.lax.dynamic_update_slice(col_ok, alive_q, (m,))
                 m2 = m + live
             else:
                 # doubling: new columns shift to [m, 2m); the reference
                 # schedule's dimension bookkeeping (iteration-count
                 # parity depends on m, not on drops).
-                V2 = V + jnp.roll(Q, m, axis=1)
-                AV2 = AV + jnp.roll(AQ, m, axis=1)
+                V2 = V + t_chunk(jnp.roll(Q, m, axis=1))
+                AV2 = AV + t_chunk(jnp.roll(AQ, m, axis=1))
                 ok2 = col_ok + jnp.roll(alive_q, m)
                 m2 = 2 * m
             charged = (op_cols + hoist_applied if hoist
@@ -475,10 +519,12 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             if gen:
                 BQ = B.matmat(Q)
                 if cfg.expansion == "lowest-k":
+                    z0b = jnp.zeros((), m.dtype)
                     BV2 = jax.lax.dynamic_update_slice(
-                        BV, BQ, (jnp.zeros((), m.dtype), m))
+                        BV, t_chunk(BQ),
+                        (z0b, z0b, m) if chunked else (z0b, m))
                 else:
-                    BV2 = BV + jnp.roll(BQ, m, axis=1)
+                    BV2 = BV + t_chunk(jnp.roll(BQ, m, axis=1))
                 return (V2, AV2, BV2, m2, ok2, charged)
             return (V2, AV2, m2, ok2, charged)
 
@@ -491,7 +537,7 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             # chip (measured: 17.3G > 15.75G). Collapse is 1-in-log
             # iterations; headroom wins.
             W2 = W[:, :init_dim]
-            X2 = jnp.dot(V, W2, preferred_element_type=dt)
+            X2 = t_dot(V, W2)
             if (cfg.cheb_degree >= 2 or cfg.cheb_auto) and not gen:
                 # ChASE-style filtered restart: damp the components of
                 # the restart block lying in [first unwanted Ritz value,
@@ -513,21 +559,30 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                                                      precise=precise)
                 AQc = A.matmat(Qc)
             else:
-                AX2 = jnp.dot(AV, W2, preferred_element_type=dt)
+                AX2 = t_dot(AV, W2)
                 Qc, Rc = orthogonal.thin_qr_collapse(X2, method=cfg.ortho,
                                                      precise=precise)
                 AQc = orthogonal.right_tri_solve(AX2, Rc)
-            Vn = jnp.zeros_like(V).at[:, :init_dim].set(Qc)
-            AVn = jnp.zeros_like(AV).at[:, :init_dim].set(AQc)
+            if chunked:
+                Vn = jnp.zeros_like(V).at[:, :, :init_dim].set(t_chunk(Qc))
+                AVn = jnp.zeros_like(AV).at[:, :, :init_dim].set(
+                    t_chunk(AQc))
+            else:
+                Vn = jnp.zeros_like(V).at[:, :init_dim].set(Qc)
+                AVn = jnp.zeros_like(AV).at[:, :init_dim].set(AQc)
             mn = jnp.asarray(init_dim, jnp.int32)
             okn = (jnp.arange(m_max) < init_dim).astype(dt)
             opc = op_cols + hoist_applied if hoist else op_cols
             if (cfg.cheb_degree >= 2 or cfg.cheb_auto) and not gen:
                 opc = opc + (degree + 1) * init_dim
             if gen:
-                BX2 = jnp.dot(BV, W2, preferred_element_type=dt)
+                BX2 = t_dot(BV, W2)
                 BQc = orthogonal.right_tri_solve(BX2, Rc)
-                BVn = jnp.zeros_like(BV).at[:, :init_dim].set(BQc)
+                if chunked:
+                    BVn = jnp.zeros_like(BV).at[:, :, :init_dim].set(
+                        t_chunk(BQc))
+                else:
+                    BVn = jnp.zeros_like(BV).at[:, :init_dim].set(BQc)
                 return (Vn, AVn, BVn, mn, okn, opc)
             return (Vn, AVn, mn, okn, opc)
 

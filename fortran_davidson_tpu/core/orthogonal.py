@@ -36,7 +36,24 @@ def project_out(V, block, precise: bool = False):
     carries ~sqrt(n)*eps relative noise, which caps how small a genuine
     new direction the projection can leave standing (the refined path's
     corrections live exactly in that regime).
+
+    ``V`` may arrive PRE-CHUNKED as ``(n/c, c, m)`` (the chunked-carry
+    engine, ``carry_layout="chunked"``); ``block`` is always flat
+    ``(n, b)``. The chunked form contracts with the same per-element
+    order, so results are bit-identical — but the Gram needs no
+    relayout of V.
     """
+    if V.ndim == 3:
+        require_precise = precise  # chunked carries exist only refined
+        assert require_precise, "chunked V requires the precise path"
+        from fortran_davidson_tpu.utils.ds import gram_ds_pre
+        r, c, m = V.shape
+        bc = block.reshape(r, c, block.shape[1])
+        g = gram_ds_pre(V, bc)
+        coeffs = g.hi + g.lo
+        proj = jnp.einsum("rcm,mp->rcp", V, coeffs,
+                          preferred_element_type=block.dtype)
+        return block - proj.reshape(block.shape)
     if precise:
         from fortran_davidson_tpu.utils.ds import gram_ds
         g = gram_ds(V, block)

@@ -345,10 +345,26 @@ def gram_ds(V, W=None, *, chunk: Optional[int] = None) -> DS:
     c = _chunk(n, chunk)
     Vc = V.reshape(n // c, c, m)
     Wc = W.reshape(n // c, c, p)
+    return gram_ds_pre(Vc, Wc)
+
+
+def gram_ds_pre(Vc, Wc=None) -> DS:
+    """Compensated Gram on PRE-CHUNKED ``(n/c, c, m)`` operands.
+
+    Bit-identical to :func:`gram_ds` on the flat arrays when ``c``
+    matches (same einsum, same tree) — but with no ``(n, m) ->
+    (n/c, c, m)`` reshape in the graph. The chunked-carry engine
+    (``carry_layout="chunked"``) stores the tall basis/caches in this
+    layout permanently, so the per-iteration relayout copy that
+    dominates the refined solver at scale (see docs/ROADMAP.md "Layout
+    wall") never happens: the array is already in the layout the Gram
+    consumes.
+    """
+    Wc = Vc if Wc is None else Wc
     # precision=HIGHEST: on TPU the default einsum demotes f32 operands
     # to bf16 passes — that would put an eps_bf16 floor under everything.
     partial = jnp.einsum("kcm,kcp->kmp", Vc, Wc,
-                         preferred_element_type=V.dtype,
+                         preferred_element_type=Vc.dtype,
                          precision=jax.lax.Precision.HIGHEST)
     return ds_sum_tree(partial, axis=0)
 

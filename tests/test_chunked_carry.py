@@ -1,0 +1,119 @@
+"""Chunked-carry engine (``carry_layout="chunked"``).
+
+The refined solver's tall carries (V, AV, BV) are stored pre-chunked as
+``(n/c, c, m_max)`` — the layout the compensated Gram's batched einsum
+consumes — so the per-iteration ``(n, m) -> (n/c, c, m)`` relayout
+copies measured at ~24 ms per (10M, 44) operand on v5e (docs/ROADMAP.md
+"Layout wall") never appear in the compiled graph. Every consumer
+contracts with the same per-element order as the flat layout, so the
+entire trajectory must be BIT-IDENTICAL — these tests pin exactly that
+(equality, not closeness).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fortran_davidson_tpu import eigensolve
+from fortran_davidson_tpu.config import DavidsonOptions
+from fortran_davidson_tpu.models.generators import (
+    generate_diagonal_dominant, surrogate_hamiltonian)
+from fortran_davidson_tpu.utils.errors import InvalidOptionsError
+
+
+def _solve_pair(op, k, **kw):
+    """Solve with flat and chunked carries; everything else identical."""
+    flat = eigensolve(op, k, carry_layout="flat", **kw)
+    chunked = eigensolve(op, k, carry_layout="chunked", **kw)
+    return flat, chunked
+
+
+def _assert_bit_identical(flat, chunked):
+    assert int(flat.iterations) == int(chunked.iterations)
+    assert bool(flat.converged) == bool(chunked.converged)
+    np.testing.assert_array_equal(np.asarray(flat.eigenvalues),
+                                  np.asarray(chunked.eigenvalues))
+    np.testing.assert_array_equal(np.asarray(flat.eigenvectors),
+                                  np.asarray(chunked.eigenvectors))
+    np.testing.assert_array_equal(np.asarray(flat.residual_history),
+                                  np.asarray(chunked.residual_history))
+    np.testing.assert_array_equal(np.asarray(flat.subspace_dims),
+                                  np.asarray(chunked.subspace_dims))
+
+
+class TestBitIdentity:
+    # n values exercise the chunk-size reduction (_chunk divides n):
+    # 4096 -> one slab, 1536 -> c=512, 1000 -> c=125? (power-of-two
+    # halving: 4096..1 until it divides).
+    @pytest.mark.parametrize("n", [1536, 4096])
+    @pytest.mark.parametrize("expansion", ["lowest-k", "doubling"])
+    def test_dpr_refined_standard(self, n, expansion):
+        op = surrogate_hamiltonian(n, dtype=jnp.float32)
+        flat, chunked = _solve_pair(
+            op, 3, method="DPR", tolerance=1e-5, dtype="float32",
+            refined=True, expansion=expansion, max_iterations=60)
+        _assert_bit_identical(flat, chunked)
+
+    def test_olsen_refined(self):
+        op = surrogate_hamiltonian(2048, dtype=jnp.float32)
+        flat, chunked = _solve_pair(
+            op, 2, method="OLSEN", tolerance=1e-5, dtype="float32",
+            refined=True, expansion="lowest-k", max_iterations=60)
+        _assert_bit_identical(flat, chunked)
+
+    def test_gjd_refined(self):
+        A = generate_diagonal_dominant(512, 1e-3, dtype=jnp.float32)
+        flat, chunked = _solve_pair(
+            A, 2, method="GJD", tolerance=1e-6, dtype="float32",
+            refined=True, max_iterations=40)
+        _assert_bit_identical(flat, chunked)
+
+    def test_generalized_refined(self):
+        A = generate_diagonal_dominant(768, 1e-3, dtype=jnp.float32)
+        B = generate_diagonal_dominant(768, 1e-3, diag_val=1.0,
+                                       dtype=jnp.float32)
+        flat, chunked = _solve_pair(
+            A, 2, second_matrix=B, method="DPR", tolerance=1e-6,
+            dtype="float32", refined=True, max_iterations=60)
+        _assert_bit_identical(flat, chunked)
+
+    def test_final_polish_and_warm_start(self):
+        op = surrogate_hamiltonian(2048, dtype=jnp.float32)
+        base = eigensolve(op, 2, tolerance=1e-3, dtype="float32",
+                          max_iterations=40)
+        kw = dict(method="DPR", tolerance=1e-8, dtype="float32",
+                  refined=True, final_polish=2, expansion="lowest-k",
+                  max_iterations=60,
+                  initial_vectors=np.asarray(base.eigenvectors))
+        flat, chunked = _solve_pair(op, 2, **kw)
+        _assert_bit_identical(flat, chunked)
+        assert bool(chunked.converged)
+
+    def test_f64_refined(self):
+        # The chunked layout is dtype-agnostic; f64 small-problem parity
+        # configurations must round-trip bit-identically too.
+        A = generate_diagonal_dominant(600, 1e-3)
+        flat, chunked = _solve_pair(A, 3, method="DPR", tolerance=1e-9,
+                                    refined=True, max_iterations=60)
+        _assert_bit_identical(flat, chunked)
+        assert bool(chunked.converged)
+
+
+class TestValidation:
+    def test_requires_refined(self):
+        with pytest.raises(InvalidOptionsError):
+            DavidsonOptions(carry_layout="chunked", refined=False)
+
+    def test_unknown_layout(self):
+        with pytest.raises(InvalidOptionsError):
+            DavidsonOptions(carry_layout="banana")
+
+    def test_sharded_rejects_chunked(self):
+        from fortran_davidson_tpu.parallel import eigensolve_sharded
+        from fortran_davidson_tpu.parallel.mesh import default_mesh
+        op = surrogate_hamiltonian(2048, dtype=jnp.float32)
+        with pytest.raises(ValueError, match="single-device"):
+            eigensolve_sharded(op, 2, default_mesh(8), dtype="float32",
+                               refined=True, carry_layout="chunked",
+                               tolerance=1e-3)
