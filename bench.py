@@ -300,13 +300,28 @@ def bench_bsr_spmm():
         out["frac_of_measured_copy_roofline"] = t_copy / t_best
         out["copy_sustained_GBps"] = bytes_min / t_copy / 1e9
     if fused:
+        from fortran_davidson_tpu.ops.pallas_kernels import _gram_plan
         aux_q = nbr * K * bs * 4 + nbr * bs * 4
-        reads_nw = (nnz * 1 + aux_q                     # int8 blocks
-                    + (nbr // R) * W * bs * m * 2       # x windows (bf16)
-                    + n * m * 2)                        # v stream (bf16)
         nominal = _device_hbm_gbps() * 1e9
+        b_item_q = 1 + 4 / bs + 4 / (K * bs)
+
+        def fused_reads(out_item):
+            # The fused kernel re-plans with its own VMEM needs (v tile
+            # + gram accumulator) — its (R, W) can differ from the plain
+            # variant's, changing the window-overlap read term.
+            fplan = _gram_plan(nbr, bs, K, bw, m, m, 2, b_item_q,
+                               out_item, 2)
+            if fplan is None:
+                return None
+            Rf, _, Wf = fplan
+            return (nnz * 1 + aux_q                     # int8 blocks
+                    + (nbr // Rf) * Wf * bs * m * 2     # x windows (bf16)
+                    + n * m * 2)                        # v stream (bf16)
+
         fd = dict(timings=fused)
-        if isinstance(fused.get("fused_nowrite_int8"), float):
+        reads_nw = fused_reads(0)
+        if isinstance(fused.get("fused_nowrite_int8"), float) \
+                and reads_nw is not None:
             t_nw = fused["fused_nowrite_int8"]
             fd["nowrite"] = dict(
                 time_s=t_nw,
@@ -314,14 +329,16 @@ def bench_bsr_spmm():
                 bytes_min=reads_nw,
                 frac_of_nominal_hbm_roofline=reads_nw / nominal / t_nw,
             )
-        if isinstance(fused.get("fused_int8"), float):
+        reads_w = fused_reads(2)
+        if isinstance(fused.get("fused_int8"), float) \
+                and reads_w is not None:
             t_f = fused["fused_int8"]
             fd["write"] = dict(
                 time_s=t_f,
                 eff_nnz_per_s=nnz * m / t_f,
-                bytes_min=reads_nw + n * m * 2,
+                bytes_min=reads_w + n * m * 2,
                 frac_of_nominal_hbm_roofline=(
-                    (reads_nw + n * m * 2) / nominal / t_f),
+                    (reads_w + n * m * 2) / nominal / t_f),
                 # vs two-pass: plain int8 SpMM + a separate gram pass
                 # (reads Y and V) — the fusion's iteration-level win.
                 two_pass_estimate_s=(results.get("int8", float("nan"))
@@ -340,11 +357,8 @@ def bench_remainder_path():
     reduction should convert ~proportionally to time. The structural
     reduction (``gather_slots``) is reported alongside the measured one.
     """
-    import numpy as np
-
-    from fortran_davidson_tpu.ops.sparse import (
-        ELLOperator, SlicedELLOperator, generate_local_sparse,
-        split_band_remainder)
+    from fortran_davidson_tpu.ops.sparse import (generate_local_sparse,
+                                                 split_band_remainder)
 
     on_tpu = jax.default_backend() == "tpu"
     n = 1_000_000 if on_tpu else 20_000
@@ -362,17 +376,7 @@ def bench_remainder_path():
         out["error"] = "split left no remainder"
         return out
     # The uniformly padded strawman on the same entries.
-    r2, c2, v2 = [], [], []
-    for r, i, v in zip(sell.bucket_rows, sell.bucket_indices,
-                       sell.bucket_values):
-        keep = np.asarray(v) != 0
-        r2.append(np.broadcast_to(np.asarray(r)[:, None],
-                                  i.shape)[keep])
-        c2.append(np.asarray(i)[keep])
-        v2.append(np.asarray(v)[keep])
-    ell = ELLOperator.from_coo(np.concatenate(r2), np.concatenate(c2),
-                               np.concatenate(v2), sell.shape[0],
-                               dtype=jnp.float32)
+    ell = sell.to_ell()
     out["ell_slots"] = int(ell.indices.size)
     out["sell_slots"] = int(sell.gather_slots)
     out["slot_reduction"] = out["ell_slots"] / max(out["sell_slots"], 1)

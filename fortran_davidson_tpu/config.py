@@ -220,6 +220,13 @@ class DavidsonOptions:
                 "carry_layout='chunked' requires refined=True (the "
                 "chunked form is bit-identical only through the "
                 "compensated-Gram pipeline)")
+        require(self.carry_layout == "flat"
+                or self.orthonormalization == "cholqr2",
+                InvalidOptionsError,
+                "carry_layout='chunked' requires "
+                "orthonormalization='cholqr2': the Householder-QR "
+                "cleanup sweep projects with a plain (non-compensated) "
+                "Gram, which has no bit-identical chunked form")
         require(self.final_polish >= 0, InvalidOptionsError,
                 "final_polish must be >= 0")
         require(self.final_polish == 0 or self.refined, InvalidOptionsError,

@@ -141,9 +141,13 @@ def minres_block(matvec: Callable, B, *, maxiter: int, rtol: float,
         # Freeze columns that converged, broke down (beta == 0 => the
         # Krylov space is exhausted: exact solution reached), or stopped
         # progressing (the f32 attainable floor — see _STALL_WINDOW).
+        # ``best`` is an ANCHOR, updated only when cumulative improvement
+        # since the last anchor clears the threshold — so slow-but-real
+        # progress (~0.05%/iter) keeps resetting the counter via its
+        # CUMULATIVE gain, while a truly flat residual never does.
         improved = phibar < st["best"] * (1.0 - _STALL_IMPROVEMENT)
         no_prog = jnp.where(improved, 0, st["no_prog"] + 1)
-        best = jnp.minimum(st["best"], phibar)
+        best = jnp.where(improved, phibar, st["best"])
         still = (act & (phibar > tol_abs) & (beta > 0)
                  & (no_prog < _STALL_WINDOW))
 

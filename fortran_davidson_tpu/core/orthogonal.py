@@ -44,8 +44,12 @@ def project_out(V, block, precise: bool = False):
     relayout of V.
     """
     if V.ndim == 3:
-        require_precise = precise  # chunked carries exist only refined
-        assert require_precise, "chunked V requires the precise path"
+        if not precise:
+            # Chunked carries only exist on the refined path (config
+            # validation enforces refined=True and cholqr2); a plain
+            # non-compensated Gram has no bit-identical chunked form.
+            raise ValueError(
+                "project_out: chunked (3-D) V requires precise=True")
         from fortran_davidson_tpu.utils.ds import gram_ds_pre
         r, c, m = V.shape
         bc = block.reshape(r, c, block.shape[1])

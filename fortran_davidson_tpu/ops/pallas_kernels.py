@@ -158,30 +158,26 @@ _N_WINDOW_BUFFERS = 4  # ring depth: windows fetched 3 tiles ahead
 _N_OUT_BUFFERS = 3     # output write ring (VMEM -> HBM async copies)
 
 
-def _banded_kernel(blocks_ref, x_hbm, out_hbm, xbuf, sem, obuf, osem, *,
-                   K: int, bw: int, W: int, nbr: int, R: int,
-                   NB: int = _N_WINDOW_BUFFERS):
-    """DIA-aligned banded-window kernel.
+def _banded_sweep(x_hbm, xbuf, sem, *, bs, bw, W, nbr, R, NB, compute_row,
+                  out=None, on_first_tile=None):
+    """The windowed-DMA sweep shared by every DIA banded kernel.
 
-    Storage rule: slot k of row r holds the block for column r - bw + k
-    (zero block when out of range), so row i of a tile always contracts
-    against buffer rows [i*bs, (i+K)*bs) of the tile's VIRTUAL window
-    [tile*R - bw, tile*R + R + bw) — a fully static inner loop with no
-    edge branches. Edge tiles fetch only the window's valid span into
-    the right buffer offset; the stale remainder multiplies zero blocks.
-    Windows are prefetched depth-3 into a ring of VMEM buffers (scratch
-    persists across the sequential TPU grid); measured on v5e the kernel
-    is HBM-bound beyond that depth.
+    Drives one grid step: prefetch the input window ring depth-(NB-1)
+    ahead (edge tiles fetch only their valid span into the right buffer
+    offset and ZERO the stale remainder — it multiplies zero blocks, and
+    0 * stale-Inf/NaN would poison the accumulator), wait for this
+    tile's window, run ``compute_row(i, slot)`` for the R static rows,
+    and (optionally) stream the row results out through the async
+    VMEM->HBM write ring with its final-tile drain.
 
-    The output leaves through a manual VMEM ring of async VMEM->HBM
-    copies rather than the automatic out pipeline: on the measured v5e
-    the HBM write path sustains only ~1/5 of the read bandwidth, so
-    writes must overlap as deeply as possible with subsequent tiles'
-    reads+compute (probe: kernel time equals the pure-DMA copy time of
-    the same byte mix — the op runs at the platform's streaming light
-    speed).
+    Args:
+      compute_row: ``(i, slot) -> (bs, mp) row result`` — the only part
+        that differs between the plain / quantized / fused-gram kernels.
+      out: ``(out_hbm, obuf, osem)`` to enable the write ring; ``None``
+        for write-free sweeps (the fused gram's pure-read variant).
+      on_first_tile: extra tile-0 initialization (e.g. zeroing a VMEM
+        gram accumulator).
     """
-    bs = blocks_ref.shape[1]
     tile = pl.program_id(0)
     ntiles = pl.num_programs(0)
     NBO = _N_OUT_BUFFERS
@@ -217,9 +213,6 @@ def _banded_kernel(blocks_ref, x_hbm, out_hbm, xbuf, sem, obuf, osem, *,
             interior(slot, t).start()
 
     def wait_window(slot, t):
-        # Edge windows fill only their valid span; the stale remainder is
-        # zeroed (NOT left as-is: it multiplies zero blocks, and
-        # 0 * stale-Inf/NaN would poison the accumulator).
         @pl.when(t == 0)
         def _():
             edge_top(slot).wait()
@@ -236,12 +229,14 @@ def _banded_kernel(blocks_ref, x_hbm, out_hbm, xbuf, sem, obuf, osem, *,
         def _():
             interior(slot, t).wait()
 
-    def out_copy(oslot, t):
-        return pltpu.make_async_copy(
-            obuf.at[oslot], out_hbm.at[pl.ds(t * R, R)], osem.at[oslot])
-
     slot = tile % NB
-    oslot = tile % NBO
+    if out is not None:
+        out_hbm, obuf, osem = out
+        oslot = tile % NBO
+
+        def out_copy(o, t):
+            return pltpu.make_async_copy(
+                obuf.at[o], out_hbm.at[pl.ds(t * R, R)], osem.at[o])
 
     @pl.when(tile == 0)
     def _():
@@ -249,35 +244,72 @@ def _banded_kernel(blocks_ref, x_hbm, out_hbm, xbuf, sem, obuf, osem, *,
         # starts windows for tiles that exist.
         for d in range(min(D, ntiles)):
             start_window(d % NB, d)
+        if on_first_tile is not None:
+            on_first_tile()
 
     @pl.when(tile + D < ntiles)
     def _():
         start_window((tile + D) % NB, tile + D)
 
-    # Reclaim the output buffer whose write was started NBO tiles ago.
-    @pl.when(tile >= NBO)
-    def _():
-        out_copy(oslot, tile - NBO).wait()
+    if out is not None:
+        # Reclaim the output buffer whose write started NBO tiles ago.
+        @pl.when(tile >= NBO)
+        def _():
+            out_copy(oslot, tile - NBO).wait()
 
     wait_window(slot, tile)
 
     for i in range(R):  # static unroll, static slices — every tile
-        obuf[oslot, i] = jnp.dot(
-            blocks_ref[i], xbuf[slot, i * bs:(i + K) * bs, :],
-            preferred_element_type=_acc_dtype(blocks_ref.dtype),
-        ).astype(obuf.dtype)
+        y_i = compute_row(i, slot)
+        if out is not None:
+            obuf[oslot, i] = y_i.astype(obuf.dtype)
 
-    out_copy(oslot, tile).start()
+    if out is not None:
+        out_copy(oslot, tile).start()
 
-    # Drain the outstanding writes on the final tile.
-    @pl.when(tile == ntiles - 1)
-    def _():
-        for d in range(min(NBO, ntiles)):
-            t_last = ntiles - 1 - d
+        # Drain the outstanding writes on the final tile.
+        @pl.when(tile == ntiles - 1)
+        def _():
+            for d in range(min(NBO, ntiles)):
+                t_last = ntiles - 1 - d
 
-            @pl.when(t_last >= 0)
-            def _():
-                out_copy(t_last % NBO, t_last).wait()
+                @pl.when(t_last >= 0)
+                def _():
+                    out_copy(t_last % NBO, t_last).wait()
+
+
+def _banded_kernel(blocks_ref, x_hbm, out_hbm, xbuf, sem, obuf, osem, *,
+                   K: int, bw: int, W: int, nbr: int, R: int,
+                   NB: int = _N_WINDOW_BUFFERS):
+    """DIA-aligned banded-window kernel.
+
+    Storage rule: slot k of row r holds the block for column r - bw + k
+    (zero block when out of range), so row i of a tile always contracts
+    against buffer rows [i*bs, (i+K)*bs) of the tile's VIRTUAL window
+    [tile*R - bw, tile*R + R + bw) — a fully static inner loop with no
+    edge branches. Edge tiles fetch only the window's valid span into
+    the right buffer offset; the stale remainder multiplies zero blocks.
+    Windows are prefetched depth-3 into a ring of VMEM buffers (scratch
+    persists across the sequential TPU grid); measured on v5e the kernel
+    is HBM-bound beyond that depth.
+
+    The output leaves through a manual VMEM ring of async VMEM->HBM
+    copies rather than the automatic out pipeline: on the measured v5e
+    the HBM write path sustains only ~1/5 of the read bandwidth, so
+    writes must overlap as deeply as possible with subsequent tiles'
+    reads+compute (probe: kernel time equals the pure-DMA copy time of
+    the same byte mix — the op runs at the platform's streaming light
+    speed).
+    """
+    bs = blocks_ref.shape[1]
+
+    def compute_row(i, slot):
+        return jnp.dot(blocks_ref[i], xbuf[slot, i * bs:(i + K) * bs, :],
+                       preferred_element_type=_acc_dtype(blocks_ref.dtype))
+
+    _banded_sweep(x_hbm, xbuf, sem, bs=bs, bw=bw, W=W, nbr=nbr, R=R,
+                  NB=NB, compute_row=compute_row,
+                  out=(out_hbm, obuf, osem))
 
 
 def banded_pallas_supported(nbr: int, K: int, bandwidth: int) -> bool:
@@ -294,7 +326,8 @@ _VMEM_BUDGET = 14 * 2**20  # leave headroom below the ~16 MB/core VMEM
 
 def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
                  x_item: int, b_item: int, out_item: int,
-                 min_tiles: int = 2, gram_vmem: int = 0):
+                 min_tiles: int = 2, gram_vmem: int = 0,
+                 fixed_vmem: int = 0):
     """Pick (tile rows R, window-ring depth NB) under the VMEM budget.
 
     Larger tiles amortize the 2*bw window-overlap traffic and give the
@@ -303,8 +336,9 @@ def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
     deep NB.
 
     ``gram_vmem``: extra per-R-row VMEM bytes the fused-gram variant
-    needs (the pipelined v tile, double-buffered) — charged as
-    ``gram_vmem * R`` plus the accumulator it carries.
+    needs (the pipelined v tile, double-buffered). ``fixed_vmem``:
+    tile-independent resident bytes (the (mvp, mp) f32 gram accumulator
+    the fused kernels keep in VMEM across the whole grid).
     """
     for R in (16, 8):
         if nbr % R or nbr < min_tiles * R or bw >= R:
@@ -314,10 +348,36 @@ def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
             vmem = (NB * W * bs * mp * x_item          # window ring
                     + 2 * R * bs * K * bs * b_item     # block pipeline
                     + _N_OUT_BUFFERS * R * bs * mp * out_item  # out ring
-                    + gram_vmem * R)                   # fused-gram v tile
+                    + gram_vmem * R                    # fused-gram v tile
+                    + fixed_vmem)                      # gram accumulator
             if vmem <= _VMEM_BUDGET:
                 return R, NB, W
     return None
+
+
+def _gram_plan(nbr, bs, K, bw, m, mv, x_item, b_item, out_item, v_item):
+    """The fused SpMM+Gram kernels' VMEM plan (None if nothing fits).
+
+    Shared by the kernel launchers and the operators' fallback check —
+    ``matmat_with_gram`` composes ``matmat`` + einsum instead of raising
+    when the fused variant's extra VMEM (v tile + accumulator) does not
+    fit shapes the plain SpMM handles fine.
+    """
+    mp = max(128, -(-m // 128) * 128)
+    mvp = max(128, -(-mv // 128) * 128)
+    return _banded_plan(nbr, bs, K, bw, mp, x_item, b_item, out_item,
+                        gram_vmem=2 * bs * mvp * v_item,
+                        fixed_vmem=mvp * mp * 4)
+
+
+def banded_gram_supported(nbr: int, K: int, bw: int, bs: int, m: int,
+                          mv: int, x_item: int, b_item, out_item: int,
+                          v_item: int) -> bool:
+    """True when the fused banded SpMM+Gram kernel can run: band shape
+    supported AND a VMEM plan exists for these operand widths/dtypes."""
+    return (banded_pallas_supported(nbr, K, bw)
+            and _gram_plan(nbr, bs, K, bw, m, mv, x_item, b_item,
+                           out_item, v_item) is not None)
 
 
 @functools.partial(jax.jit,
@@ -428,104 +488,25 @@ def _banded_gram_kernel(blocks_ref, v_ref, x_hbm, *rest, K: int, bw: int,
         (g_ref, xbuf, sem) = rest
         out_hbm = obuf = osem = None
     bs = blocks_ref.shape[1]
-    tile = pl.program_id(0)
-    ntiles = pl.num_programs(0)
-    NBO = _N_OUT_BUFFERS
-    D = NB - 1
-    V = W - bw
 
-    def edge_top(slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(0, V * bs), :],
-            xbuf.at[slot, pl.ds(bw * bs, V * bs), :], sem.at[slot])
-
-    def edge_bottom(slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds((nbr - V) * bs, V * bs), :],
-            xbuf.at[slot, pl.ds(0, V * bs), :], sem.at[slot])
-
-    def interior(slot, t):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds((t * R - bw) * bs, W * bs), :],
-            xbuf.at[slot], sem.at[slot])
-
-    def start_window(slot, t):
-        @pl.when(t == 0)
-        def _():
-            edge_top(slot).start()
-
-        @pl.when(t == ntiles - 1)
-        def _():
-            edge_bottom(slot).start()
-
-        @pl.when((t > 0) & (t < ntiles - 1))
-        def _():
-            interior(slot, t).start()
-
-    def wait_window(slot, t):
-        @pl.when(t == 0)
-        def _():
-            edge_top(slot).wait()
-            xbuf[slot, 0:bw * bs, :] = jnp.zeros(
-                (bw * bs, xbuf.shape[2]), xbuf.dtype)
-
-        @pl.when(t == ntiles - 1)
-        def _():
-            edge_bottom(slot).wait()
-            xbuf[slot, V * bs:, :] = jnp.zeros(
-                (W * bs - V * bs, xbuf.shape[2]), xbuf.dtype)
-
-        @pl.when((t > 0) & (t < ntiles - 1))
-        def _():
-            interior(slot, t).wait()
-
-    def out_copy(oslot, t):
-        return pltpu.make_async_copy(
-            obuf.at[oslot], out_hbm.at[pl.ds(t * R, R)], osem.at[oslot])
-
-    slot = tile % NB
-    oslot = tile % NBO
-
-    @pl.when(tile == 0)
-    def _():
-        for d in range(min(D, ntiles)):
-            start_window(d % NB, d)
-        g_ref[:] = jnp.zeros(g_ref.shape, g_ref.dtype)
-
-    @pl.when(tile + D < ntiles)
-    def _():
-        start_window((tile + D) % NB, tile + D)
-
-    if write_out:
-        @pl.when(tile >= NBO)
-        def _():
-            out_copy(oslot, tile - NBO).wait()
-
-    wait_window(slot, tile)
-
-    for i in range(R):  # static unroll
+    def compute_row(i, slot):
         y_i = jnp.dot(
             blocks_ref[i], xbuf[slot, i * bs:(i + K) * bs, :],
             preferred_element_type=_acc_dtype(blocks_ref.dtype))
-        if write_out:
-            obuf[oslot, i] = y_i.astype(obuf.dtype)
         # Gram partial on the VMEM-resident tile: (bs, mv)ᵀ (bs, mp).
         g_ref[:] += jax.lax.dot_general(
             v_ref[pl.ds(i * bs, bs), :], y_i.astype(v_ref.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(g_ref.dtype)
+        return y_i
 
-    if write_out:
-        out_copy(oslot, tile).start()
+    def init_gram():
+        g_ref[:] = jnp.zeros(g_ref.shape, g_ref.dtype)
 
-        @pl.when(tile == ntiles - 1)
-        def _():
-            for d in range(min(NBO, ntiles)):
-                t_last = ntiles - 1 - d
-
-                @pl.when(t_last >= 0)
-                def _():
-                    out_copy(t_last % NBO, t_last).wait()
+    _banded_sweep(x_hbm, xbuf, sem, bs=bs, bw=bw, W=W, nbr=nbr, R=R,
+                  NB=NB, compute_row=compute_row,
+                  out=(out_hbm, obuf, osem) if write_out else None,
+                  on_first_tile=init_gram)
 
 
 @functools.partial(jax.jit, static_argnames=("bandwidth", "write_out",
@@ -578,9 +559,9 @@ def banded_bsr_spmm_gram(blocks, x, v=None, *, bandwidth: int,
         v = jnp.pad(v, ((0, 0), (0, mvp - mv)))
 
     out_item = out_dtype.itemsize if write_out else 0
-    plan = _banded_plan(nbr, bs, K, bw, mp, x.dtype.itemsize,
-                        blocks.dtype.itemsize, out_item,
-                        gram_vmem=2 * bs * mvp * v.dtype.itemsize)
+    plan = _gram_plan(nbr, bs, K, bw, m, mv, x.dtype.itemsize,
+                      blocks.dtype.itemsize, out_item,
+                      v.dtype.itemsize)
     if plan is None:
         raise ValueError(
             f"banded_bsr_spmm_gram: no (tile, ring) plan fits VMEM for "
@@ -669,97 +650,17 @@ def _banded_q_kernel(blocks_ref, srow_ref, diag_ref, x_hbm, out_hbm, xbuf,
     and diagonal add ~3%.
     """
     bs = blocks_ref.shape[1]
-    tile = pl.program_id(0)
-    ntiles = pl.num_programs(0)
-    NBO = _N_OUT_BUFFERS
-    D = NB - 1
-    V = W - bw
 
-    def edge_top(slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(0, V * bs), :],
-            xbuf.at[slot, pl.ds(bw * bs, V * bs), :], sem.at[slot])
-
-    def edge_bottom(slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds((nbr - V) * bs, V * bs), :],
-            xbuf.at[slot, pl.ds(0, V * bs), :], sem.at[slot])
-
-    def interior(slot, t):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds((t * R - bw) * bs, W * bs), :],
-            xbuf.at[slot], sem.at[slot])
-
-    def start_window(slot, t):
-        @pl.when(t == 0)
-        def _():
-            edge_top(slot).start()
-
-        @pl.when(t == ntiles - 1)
-        def _():
-            edge_bottom(slot).start()
-
-        @pl.when((t > 0) & (t < ntiles - 1))
-        def _():
-            interior(slot, t).start()
-
-    def wait_window(slot, t):
-        @pl.when(t == 0)
-        def _():
-            edge_top(slot).wait()
-            xbuf[slot, 0:bw * bs, :] = jnp.zeros(
-                (bw * bs, xbuf.shape[2]), xbuf.dtype)
-
-        @pl.when(t == ntiles - 1)
-        def _():
-            edge_bottom(slot).wait()
-            xbuf[slot, V * bs:, :] = jnp.zeros(
-                (W * bs - V * bs, xbuf.shape[2]), xbuf.dtype)
-
-        @pl.when((t > 0) & (t < ntiles - 1))
-        def _():
-            interior(slot, t).wait()
-
-    def out_copy(oslot, t):
-        return pltpu.make_async_copy(
-            obuf.at[oslot], out_hbm.at[pl.ds(t * R, R)], osem.at[oslot])
-
-    slot = tile % NB
-    oslot = tile % NBO
-
-    @pl.when(tile == 0)
-    def _():
-        for d in range(min(D, ntiles)):
-            start_window(d % NB, d)
-
-    @pl.when(tile + D < ntiles)
-    def _():
-        start_window((tile + D) % NB, tile + D)
-
-    @pl.when(tile >= NBO)
-    def _():
-        out_copy(oslot, tile - NBO).wait()
-
-    wait_window(slot, tile)
-
-    for i in range(R):
+    def compute_row(i, slot):
         w = blocks_ref[i].astype(jnp.float32) * srow_ref[i][None, :]
         acc = jnp.dot(w, xbuf[slot, i * bs:(i + K) * bs, :],
                       preferred_element_type=jnp.float32)
         ctr = xbuf[slot, (i + bw) * bs:(i + bw + 1) * bs, :]
-        obuf[oslot, i] = (acc + diag_ref[i][:, None]
-                          * ctr.astype(jnp.float32)).astype(obuf.dtype)
+        return acc + diag_ref[i][:, None] * ctr.astype(jnp.float32)
 
-    out_copy(oslot, tile).start()
-
-    @pl.when(tile == ntiles - 1)
-    def _():
-        for d in range(min(NBO, ntiles)):
-            t_last = ntiles - 1 - d
-
-            @pl.when(t_last >= 0)
-            def _():
-                out_copy(t_last % NBO, t_last).wait()
+    _banded_sweep(x_hbm, xbuf, sem, bs=bs, bw=bw, W=W, nbr=nbr, R=R,
+                  NB=NB, compute_row=compute_row,
+                  out=(out_hbm, obuf, osem))
 
 
 @functools.partial(jax.jit,
@@ -857,105 +758,26 @@ def _banded_q_gram_kernel(blocks_ref, srow_ref, diag_ref, v_ref, x_hbm,
         (g_ref, xbuf, sem) = rest
         out_hbm = obuf = osem = None
     bs = blocks_ref.shape[1]
-    tile = pl.program_id(0)
-    ntiles = pl.num_programs(0)
-    NBO = _N_OUT_BUFFERS
-    D = NB - 1
-    V = W - bw
 
-    def edge_top(slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(0, V * bs), :],
-            xbuf.at[slot, pl.ds(bw * bs, V * bs), :], sem.at[slot])
-
-    def edge_bottom(slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds((nbr - V) * bs, V * bs), :],
-            xbuf.at[slot, pl.ds(0, V * bs), :], sem.at[slot])
-
-    def interior(slot, t):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds((t * R - bw) * bs, W * bs), :],
-            xbuf.at[slot], sem.at[slot])
-
-    def start_window(slot, t):
-        @pl.when(t == 0)
-        def _():
-            edge_top(slot).start()
-
-        @pl.when(t == ntiles - 1)
-        def _():
-            edge_bottom(slot).start()
-
-        @pl.when((t > 0) & (t < ntiles - 1))
-        def _():
-            interior(slot, t).start()
-
-    def wait_window(slot, t):
-        @pl.when(t == 0)
-        def _():
-            edge_top(slot).wait()
-            xbuf[slot, 0:bw * bs, :] = jnp.zeros(
-                (bw * bs, xbuf.shape[2]), xbuf.dtype)
-
-        @pl.when(t == ntiles - 1)
-        def _():
-            edge_bottom(slot).wait()
-            xbuf[slot, V * bs:, :] = jnp.zeros(
-                (W * bs - V * bs, xbuf.shape[2]), xbuf.dtype)
-
-        @pl.when((t > 0) & (t < ntiles - 1))
-        def _():
-            interior(slot, t).wait()
-
-    def out_copy(oslot, t):
-        return pltpu.make_async_copy(
-            obuf.at[oslot], out_hbm.at[pl.ds(t * R, R)], osem.at[oslot])
-
-    slot = tile % NB
-    oslot = tile % NBO
-
-    @pl.when(tile == 0)
-    def _():
-        for d in range(min(D, ntiles)):
-            start_window(d % NB, d)
-        g_ref[:] = jnp.zeros(g_ref.shape, g_ref.dtype)
-
-    @pl.when(tile + D < ntiles)
-    def _():
-        start_window((tile + D) % NB, tile + D)
-
-    if write_out:
-        @pl.when(tile >= NBO)
-        def _():
-            out_copy(oslot, tile - NBO).wait()
-
-    wait_window(slot, tile)
-
-    for i in range(R):
+    def compute_row(i, slot):
         w = blocks_ref[i].astype(jnp.float32) * srow_ref[i][None, :]
         acc = jnp.dot(w, xbuf[slot, i * bs:(i + K) * bs, :],
                       preferred_element_type=jnp.float32)
         ctr = xbuf[slot, (i + bw) * bs:(i + bw + 1) * bs, :]
         y_i = acc + diag_ref[i][:, None] * ctr.astype(jnp.float32)
-        if write_out:
-            obuf[oslot, i] = y_i.astype(obuf.dtype)
         g_ref[:] += jax.lax.dot_general(
             v_ref[pl.ds(i * bs, bs), :], y_i.astype(v_ref.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(g_ref.dtype)
+        return y_i
 
-    if write_out:
-        out_copy(oslot, tile).start()
+    def init_gram():
+        g_ref[:] = jnp.zeros(g_ref.shape, g_ref.dtype)
 
-        @pl.when(tile == ntiles - 1)
-        def _():
-            for d in range(min(NBO, ntiles)):
-                t_last = ntiles - 1 - d
-
-                @pl.when(t_last >= 0)
-                def _():
-                    out_copy(t_last % NBO, t_last).wait()
+    _banded_sweep(x_hbm, xbuf, sem, bs=bs, bw=bw, W=W, nbr=nbr, R=R,
+                  NB=NB, compute_row=compute_row,
+                  out=(out_hbm, obuf, osem) if write_out else None,
+                  on_first_tile=init_gram)
 
 
 @functools.partial(jax.jit, static_argnames=("bandwidth", "write_out",
@@ -990,9 +812,8 @@ def banded_q_bsr_spmm_gram(qblocks, scale_rows, diag, x, v=None, *,
 
     b_item = 1 + 4 / bs + 4 / (K * bs)
     out_item = out_dtype.itemsize if write_out else 0
-    plan = _banded_plan(nbr, bs, K, bw, mp, x.dtype.itemsize, b_item,
-                        out_item,
-                        gram_vmem=2 * bs * mvp * v.dtype.itemsize)
+    plan = _gram_plan(nbr, bs, K, bw, m, mv, x.dtype.itemsize, b_item,
+                      out_item, v.dtype.itemsize)
     if plan is None:
         raise ValueError(
             f"banded_q_bsr_spmm_gram: no (tile, ring) plan fits VMEM for "

@@ -611,10 +611,14 @@ class BSROperator(LinearOperator):
         vv = block if v is None else v
         if self.backend == "pallas":
             from fortran_davidson_tpu.ops.pallas_kernels import (
-                banded_bsr_spmm_gram, banded_pallas_supported)
+                banded_bsr_spmm_gram, banded_gram_supported)
             bw = self.bandwidth
-            if bw is not None and banded_pallas_supported(
-                    self.n_block_rows, self.blocks_per_row, bw):
+            nbr, bs, kbs = self.blocks.shape
+            item = jnp.dtype(compute).itemsize
+            if bw is not None and banded_gram_supported(
+                    nbr, kbs // bs, bw, bs, block.shape[1], vv.shape[1],
+                    item, item,
+                    jnp.dtype(target).itemsize if write_out else 0, item):
                 out = banded_bsr_spmm_gram(
                     self.blocks.astype(compute), block.astype(compute),
                     vv.astype(compute), bandwidth=bw,
@@ -876,13 +880,16 @@ class QuantizedBandedOperator(LinearOperator):
         write is an even larger fraction of the kernel's HBM traffic, so
         the fusion win is proportionally bigger."""
         from fortran_davidson_tpu.ops.pallas_kernels import (
-            banded_pallas_supported, banded_q_bsr_spmm_gram)
+            banded_gram_supported, banded_q_bsr_spmm_gram)
         nbr, bs, kbs = self.qblocks.shape
         K = kbs // bs
         target = block.dtype
         vv = block if v is None else v
-        if self.backend == "pallas" and banded_pallas_supported(
-                nbr, K, self.bandwidth):
+        x_item = jnp.dtype(block.dtype).itemsize
+        if self.backend == "pallas" and banded_gram_supported(
+                nbr, K, self.bandwidth, bs, block.shape[1], vv.shape[1],
+                x_item, 1 + 4 / bs + 4 / (K * bs),
+                jnp.dtype(target).itemsize if write_out else 0, x_item):
             return banded_q_bsr_spmm_gram(
                 self.qblocks, self.scale_rows, self.diag, block, vv,
                 bandwidth=self.bandwidth, write_out=write_out,

@@ -65,14 +65,19 @@ def initialize(coordinator_address: Optional[str] = None,
             try:
                 jax.distributed.initialize()
             except (ValueError, RuntimeError) as e:
-                # Benign ONLY for genuine single-process runs (no
-                # coordinator discoverable / backend already up in
-                # tests). If the environment says this is one process of
-                # a multi-process launch, a silent local-mesh fallback
-                # would give every process an inconsistent mesh —
+                # Benign for genuine single-process runs (no coordinator
+                # discoverable / backend already up in tests) AND for the
+                # standard pattern where the CALLER already ran
+                # jax.distributed.initialize() itself — distributed state
+                # is then up and the global mesh below is correct. Only
+                # when the environment says multi-process AND distributed
+                # init is genuinely absent would a silent local-mesh
+                # fallback give every process an inconsistent mesh —
                 # hangs or wrong collectives with no signal. Fail loud.
+                already_up = getattr(jax.distributed, "is_initialized",
+                                     lambda: False)()
                 hints = _multihost_env_hints()
-                if hints:
+                if hints and not already_up:
                     raise RuntimeError(
                         "jax.distributed.initialize() failed in what "
                         f"looks like a multi-process launch ({'/'.join(hints)} "

@@ -118,6 +118,25 @@ class TestMultihostInit:
         with pytest.raises(RuntimeError, match="multi-process"):
             multihost.initialize()
 
+    def test_hinted_but_already_initialized_is_benign(self, monkeypatch):
+        # The standard pattern: the CALLER ran jax.distributed
+        # .initialize() itself (SLURM/coordinator launch), then calls
+        # the library's initialize(). The inner init raises "already
+        # initialized" — with distributed state up, escalating would
+        # break a perfectly healthy launch.
+        from fortran_davidson_tpu.parallel import multihost
+        monkeypatch.setattr(multihost, "_initialized", False)
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+
+        def boom(*a, **k):
+            raise RuntimeError("already initialized")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        monkeypatch.setattr(jax.distributed, "is_initialized",
+                            lambda: True)
+        mesh = multihost.initialize()
+        assert mesh.devices.size >= 1
+
     def test_unhinted_failure_falls_through(self, monkeypatch):
         from fortran_davidson_tpu.parallel import multihost
         monkeypatch.setattr(multihost, "_initialized", False)

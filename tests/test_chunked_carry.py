@@ -109,6 +109,14 @@ class TestValidation:
         with pytest.raises(InvalidOptionsError):
             DavidsonOptions(carry_layout="banana")
 
+    def test_qr_ortho_rejected(self):
+        # The Householder-QR cleanup sweep projects with a plain Gram
+        # (no bit-identical chunked form) — the combination must be
+        # rejected at validation, not crash at trace time.
+        with pytest.raises(InvalidOptionsError, match="cholqr2"):
+            DavidsonOptions(carry_layout="chunked", refined=True,
+                            orthonormalization="qr")
+
     def test_sharded_rejects_chunked(self):
         from fortran_davidson_tpu.parallel import eigensolve_sharded
         from fortran_davidson_tpu.parallel.mesh import default_mesh

@@ -46,6 +46,29 @@ class TestFusedKernel:
         np.testing.assert_allclose(np.asarray(g), g_ref,
                                    rtol=1e-4, atol=1e-3)
 
+    def test_vmem_overflow_falls_back_to_two_pass(self, rng):
+        # A gram operand wide enough that the fused kernel's VMEM plan
+        # fails (v tile + accumulator) on a shape the plain SpMM handles
+        # must compose matmat + einsum, not raise (documented fallback).
+        op = generate_banded_bsr(32, 128, bandwidth=2, seed=3,
+                                 dtype=jnp.float32).with_backend("pallas")
+        n = op.shape[0]
+        x = jnp.asarray(rng.standard_normal((n, 256)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((n, 4096)), jnp.float32)
+        from fortran_davidson_tpu.ops.pallas_kernels import (
+            banded_gram_supported)
+        assert not banded_gram_supported(32, 5, 2, 128, 256, 4096,
+                                         4, 4, 4, 4)
+        y, g = op.matmat_with_gram(x, v)
+        y_ref = op.matmat(x)
+        g_ref = np.asarray(v).T @ np.asarray(y_ref)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+        # f32 einsum vs the f64 numpy oracle at n=4096-term sums of
+        # values up to ~2e5 — atol covers cancellation near zero.
+        np.testing.assert_allclose(np.asarray(g), g_ref, rtol=2e-3,
+                                   atol=1.0)
+
     def test_no_write_returns_gram_only(self, rng):
         op = generate_banded_bsr(32, 8, bandwidth=2, seed=3,
                                  dtype=jnp.float32)
