@@ -457,6 +457,34 @@ def bench_davidson_solve():
                 r.residual_norms))))
     except Exception as e:
         out["progressive_1e8"] = {"error": str(e)[:200]}
+
+    # Layout-wall A/B (round 3): the same refined solve with the tall
+    # carries stored pre-chunked in the Gram's native layout
+    # (carry_layout="chunked") — if XLA keeps one layout for the carry,
+    # both per-iteration relayout copies disappear. Trajectories are
+    # bit-identical by construction; only time should move.
+    try:
+        def run_ch():
+            return eigensolve(op, 3, method="DPR", tolerance=1e-8,
+                              relative_tolerance=True, max_iterations=60,
+                              dtype="float32", expansion="lowest-k",
+                              refined=True, final_polish=3,
+                              carry_layout="chunked",
+                              initial_vectors=res.eigenvectors)
+        r2 = run_ch()
+        ci = int(r2.iterations)
+        t0 = time.perf_counter()
+        r2 = run_ch()
+        ci = int(r2.iterations)
+        cdt = time.perf_counter() - t0
+        entry = dict(wall_s=cdt, iterations=ci,
+                     converged=bool(r2.converged))
+        flat = out.get("progressive_1e8", {})
+        if isinstance(flat.get("wall_s"), float) and cdt > 0:
+            entry["speedup_vs_flat"] = flat["wall_s"] / cdt
+        out["progressive_1e8_chunked"] = entry
+    except Exception as e:
+        out["progressive_1e8_chunked"] = {"error": str(e)[:200]}
     return out
 
 
