@@ -208,6 +208,16 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         from fortran_davidson_tpu.utils.ds import gram_ds, gram_ds_pre
         return gram_ds_pre(Xc, Yc) if chunked else gram_ds(Xc, Yc)
 
+    def t_write(Tc, block, col):
+        """Write a flat (n, b) block into the carry at column ``col``
+        (dynamic_update_slice aliases the while-carry in place)."""
+        z0 = jnp.zeros((), jnp.int32)
+        col = jnp.asarray(col, jnp.int32)
+        if chunked:
+            return jax.lax.dynamic_update_slice(Tc, t_chunk(block),
+                                                (z0, z0, col))
+        return jax.lax.dynamic_update_slice(Tc, block, (z0, col))
+
     def cond(st):
         # `stalled`: a lowest-k expansion admitted ZERO new columns below
         # the subspace cap — the state is then an exact fixed point of
@@ -495,15 +505,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 # (n, m_max) read-modify-write of the roll-add; writes
                 # are the scarce HBM resource on the measured v5e). The
                 # basis stays a hole-free prefix via the live count.
-                z0 = jnp.zeros((), m.dtype)
-                if chunked:
-                    V2 = jax.lax.dynamic_update_slice(
-                        V, t_chunk(Q), (z0, z0, m))
-                    AV2 = jax.lax.dynamic_update_slice(
-                        AV, t_chunk(AQ), (z0, z0, m))
-                else:
-                    V2 = jax.lax.dynamic_update_slice(V, Q, (z0, m))
-                    AV2 = jax.lax.dynamic_update_slice(AV, AQ, (z0, m))
+                V2 = t_write(V, Q, m)
+                AV2 = t_write(AV, AQ, m)
                 ok2 = jax.lax.dynamic_update_slice(col_ok, alive_q, (m,))
                 m2 = m + live
             else:
@@ -519,10 +522,7 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             if gen:
                 BQ = B.matmat(Q)
                 if cfg.expansion == "lowest-k":
-                    z0b = jnp.zeros((), m.dtype)
-                    BV2 = jax.lax.dynamic_update_slice(
-                        BV, t_chunk(BQ),
-                        (z0b, z0b, m) if chunked else (z0b, m))
+                    BV2 = t_write(BV, BQ, m)
                 else:
                     BV2 = BV + t_chunk(jnp.roll(BQ, m, axis=1))
                 return (V2, AV2, BV2, m2, ok2, charged)
@@ -563,13 +563,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 Qc, Rc = orthogonal.thin_qr_collapse(X2, method=cfg.ortho,
                                                      precise=precise)
                 AQc = orthogonal.right_tri_solve(AX2, Rc)
-            if chunked:
-                Vn = jnp.zeros_like(V).at[:, :, :init_dim].set(t_chunk(Qc))
-                AVn = jnp.zeros_like(AV).at[:, :, :init_dim].set(
-                    t_chunk(AQc))
-            else:
-                Vn = jnp.zeros_like(V).at[:, :init_dim].set(Qc)
-                AVn = jnp.zeros_like(AV).at[:, :init_dim].set(AQc)
+            Vn = t_write(jnp.zeros_like(V), Qc, 0)
+            AVn = t_write(jnp.zeros_like(AV), AQc, 0)
             mn = jnp.asarray(init_dim, jnp.int32)
             okn = (jnp.arange(m_max) < init_dim).astype(dt)
             opc = op_cols + hoist_applied if hoist else op_cols
@@ -578,11 +573,7 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             if gen:
                 BX2 = t_dot(BV, W2)
                 BQc = orthogonal.right_tri_solve(BX2, Rc)
-                if chunked:
-                    BVn = jnp.zeros_like(BV).at[:, :, :init_dim].set(
-                        t_chunk(BQc))
-                else:
-                    BVn = jnp.zeros_like(BV).at[:, :init_dim].set(BQc)
+                BVn = t_write(jnp.zeros_like(BV), BQc, 0)
                 return (Vn, AVn, BVn, mn, okn, opc)
             return (Vn, AVn, mn, okn, opc)
 
@@ -760,6 +751,13 @@ class _LRUCache:
     def put(self, key, value):
         self._d[key] = value
         self._d.move_to_end(key)
+        self._evict()
+
+    def set_capacity(self, capacity: int):
+        self.capacity = capacity
+        self._evict()
+
+    def _evict(self):
         while len(self._d) > max(1, self.capacity):
             self._d.popitem(last=False)
 
@@ -786,12 +784,8 @@ def set_compiled_cache_capacity(capacity: int) -> None:
     """
     if capacity < 1:
         raise ValueError("cache capacity must be >= 1")
-    _ENGINE_CACHE.capacity = capacity
-    _STEPPER_CACHE.capacity = capacity
-    while len(_ENGINE_CACHE) > capacity:
-        _ENGINE_CACHE._d.popitem(last=False)
-    while len(_STEPPER_CACHE) > capacity:
-        _STEPPER_CACHE._d.popitem(last=False)
+    _ENGINE_CACHE.set_capacity(capacity)
+    _STEPPER_CACHE.set_capacity(capacity)
 
 
 def clear_compiled_caches() -> None:

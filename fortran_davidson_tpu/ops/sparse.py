@@ -450,6 +450,16 @@ class SlicedELLOperator(LinearOperator):
         return obj
 
 
+def _two_pass_gram(op, block, vv, write_out):
+    """Two-pass composition fallback of ``matmat_with_gram``: identical
+    math (f32 gram accumulation), one extra HBM round trip of Y."""
+    y = op.matmat(block)
+    g = jnp.einsum("nv,nm->vm", vv.astype(jnp.float32),
+                   y.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    return (y, g) if write_out else g
+
+
 @jax.tree_util.register_pytree_node_class
 class BSROperator(LinearOperator):
     """Block-ELL sparse symmetric operator (dense ``bs x bs`` blocks).
@@ -624,11 +634,7 @@ class BSROperator(LinearOperator):
                     vv.astype(compute), bandwidth=bw,
                     write_out=write_out, out_dtype=target)
                 return out
-        y = self.matmat(block)
-        g = jnp.einsum("nv,nm->vm", vv.astype(jnp.float32),
-                       y.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
-        return (y, g) if write_out else g
+        return _two_pass_gram(self, block, vv, write_out)
 
     def _blocks4(self):
         nbr, bs, kbs = self.blocks.shape
@@ -894,11 +900,7 @@ class QuantizedBandedOperator(LinearOperator):
                 self.qblocks, self.scale_rows, self.diag, block, vv,
                 bandwidth=self.bandwidth, write_out=write_out,
                 out_dtype=target)
-        y = self.matmat(block)
-        g = jnp.einsum("nv,nm->vm", vv.astype(jnp.float32),
-                       y.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
-        return (y, g) if write_out else g
+        return _two_pass_gram(self, block, vv, write_out)
 
     def diagonal(self):
         return self.diag.reshape(-1)
