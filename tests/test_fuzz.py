@@ -184,3 +184,80 @@ def test_random_sharded_config(seed, n, k, gen, refined, dtype):
         np.testing.assert_allclose(vals, expected,
                                    atol=1e-7 if dtype == "float64"
                                    else 5e-3)
+
+
+def _chunked_cases():
+    rng = np.random.default_rng(1234)
+    cases = []
+    for i in range(6):
+        n = int(rng.integers(40, 2400))
+        k = int(rng.integers(1, 4))
+        method = str(rng.choice(["DPR", "GJD", "OLSEN"]))
+        expansion = str(rng.choice(["doubling", "lowest-k"]))
+        gen = bool(rng.integers(0, 2))
+        dtype = str(rng.choice(["float64", "float32"]))
+        cases.append((i, n, k, method, expansion, gen, dtype))
+    return cases
+
+
+@pytest.mark.parametrize("seed,n,k,method,expansion,gen,dtype",
+                         _chunked_cases())
+def test_random_chunked_carry_bit_identity(seed, n, k, method, expansion,
+                                           gen, dtype):
+    """Random refined configurations: the chunked carry layout must give
+    BIT-identical trajectories to the flat layout (the contract the
+    layout-wall escape rests on — see tests/test_chunked_carry.py for the
+    targeted cases)."""
+    A = generate_diagonal_dominant(n, 1e-3, key=jax.random.PRNGKey(seed))
+    B = (generate_diagonal_dominant(n, 1e-3, diag_val=1.0,
+                                    key=jax.random.PRNGKey(seed + 900))
+         if gen else None)
+    if dtype == "float32":
+        A = jnp.asarray(np.asarray(A), jnp.float32)
+        B = None if B is None else jnp.asarray(np.asarray(B), jnp.float32)
+    tol = 1e-8 if dtype == "float64" else 1e-5
+    out = {}
+    for layout in ("flat", "chunked"):
+        res = fdt.eigensolve(A, k, second_matrix=B, method=method,
+                             tolerance=tol, max_iterations=80,
+                             dtype=dtype, expansion=expansion,
+                             refined=True, carry_layout=layout)
+        res.block_until_ready()
+        out[layout] = res
+    assert int(out["flat"].iterations) == int(out["chunked"].iterations)
+    np.testing.assert_array_equal(
+        np.asarray(out["flat"].residual_history),
+        np.asarray(out["chunked"].residual_history))
+    np.testing.assert_array_equal(np.asarray(out["flat"].eigenvalues),
+                                  np.asarray(out["chunked"].eigenvalues))
+
+
+def _sell_cases():
+    rng = np.random.default_rng(55)
+    return [(i, int(rng.integers(8, 900)), float(rng.uniform(0, 0.2)))
+            for i in range(8)]
+
+
+@pytest.mark.parametrize("seed,n,density", _sell_cases())
+def test_random_sell_matches_dense(seed, n, density):
+    """Random symmetric COO patterns (incl. duplicates, empty rows):
+    SlicedELLOperator must match the dense oracle exactly at f64."""
+    from fortran_davidson_tpu.ops.sparse import SlicedELLOperator
+    rng = np.random.default_rng(seed)
+    nnz = int(density * n * n) + 1
+    i = rng.integers(0, n, nnz)
+    j = rng.integers(0, n, nnz)
+    v = rng.standard_normal(nnz)
+    rows = np.concatenate([i, j])
+    cols = np.concatenate([j, i])
+    vals = np.concatenate([v, v])
+    dense = np.zeros((n, n))
+    np.add.at(dense, (rows, cols), vals)
+    sell = SlicedELLOperator.from_coo(rows, cols, vals, n)
+    np.testing.assert_allclose(np.asarray(sell.to_dense()), dense,
+                               atol=1e-12)
+    x = rng.standard_normal((n, 3))
+    np.testing.assert_allclose(np.asarray(sell.matmat(jnp.asarray(x))),
+                               dense @ x, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sell.diagonal()),
+                               np.diag(dense), atol=1e-12)
