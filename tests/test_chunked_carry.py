@@ -100,6 +100,47 @@ class TestBitIdentity:
         assert bool(chunked.converged)
 
 
+class TestInteractions:
+    def test_locking(self):
+        op = surrogate_hamiltonian(1536, dtype=jnp.float32)
+        flat, chunked = _solve_pair(
+            op, 3, method="DPR", tolerance=1e-5, dtype="float32",
+            refined=True, locking=True, expansion="lowest-k",
+            max_iterations=60)
+        _assert_bit_identical(flat, chunked)
+
+    def test_chebyshev_restarts(self):
+        A = generate_diagonal_dominant(700, 1e-2, dtype=jnp.float32)
+        flat, chunked = _solve_pair(
+            A, 2, method="DPR", tolerance=1e-5, dtype="float32",
+            refined=True, cheb_degree=4, max_dim_sub=8,
+            max_iterations=80)
+        _assert_bit_identical(flat, chunked)
+
+    def test_checkpoint_resume(self, tmp_path):
+        # The chunked (n/c, c, m_max) state round-trips through orbax
+        # and resumes bit-exactly.
+        from fortran_davidson_tpu import eigensolve_checkpointed
+        op = surrogate_hamiltonian(1536, dtype=jnp.float32)
+        kw = dict(method="DPR", tolerance=1e-6, dtype="float32",
+                  refined=True, carry_layout="chunked",
+                  expansion="lowest-k", max_iterations=40)
+        full = eigensolve_checkpointed(op, 2, str(tmp_path / "a"),
+                                       every=50, **kw)
+
+        def interrupt(state):
+            raise KeyboardInterrupt
+
+        with pytest.raises(KeyboardInterrupt):
+            eigensolve_checkpointed(op, 2, str(tmp_path / "b"), every=1,
+                                    callbacks=(interrupt,), **kw)
+        resumed = eigensolve_checkpointed(op, 2, str(tmp_path / "b"),
+                                          every=50, **kw)
+        assert int(resumed.iterations) == int(full.iterations)
+        np.testing.assert_array_equal(np.asarray(resumed.eigenvalues),
+                                      np.asarray(full.eigenvalues))
+
+
 class TestValidation:
     def test_requires_refined(self):
         with pytest.raises(InvalidOptionsError):
