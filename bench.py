@@ -46,6 +46,11 @@ _HBM_GBPS = {
 
 _CHAIN = 100
 
+# Soft deadline (absolute time.monotonic()) set by main(); sections
+# consult it before starting optional work so the single-JSON-line
+# artifact always gets emitted.
+_DEADLINE = [float("inf")]
+
 
 def _device_hbm_gbps() -> float:
     kind = jax.devices()[0].device_kind
@@ -361,7 +366,11 @@ def bench_remainder_path():
                                                  split_band_remainder)
 
     on_tpu = jax.default_backend() == "tpu"
-    n = 1_000_000 if on_tpu else 20_000
+    # 250k rows: large enough that the gather engine dominates (the
+    # per-slot rate is size-independent beyond cache scale), small
+    # enough that host-side COO setup stays ~30 s on this container's
+    # slow host CPU and the driver's bench budget holds.
+    n = 250_000 if on_tpu else 20_000
     # Locality tuned so the banded split lands near band fraction ~0.87
     # (the target regime is <= 0.9): geometric off-diagonal distance with
     # mean 95 vs a one-block-row band of 128.
@@ -463,6 +472,9 @@ def bench_davidson_solve():
     # (carry_layout="chunked") — if XLA keeps one layout for the carry,
     # both per-iteration relayout copies disappear. Trajectories are
     # bit-identical by construction; only time should move.
+    if time.monotonic() > _DEADLINE[0]:
+        out["progressive_1e8_chunked"] = {"skipped": "deadline passed"}
+        return out
     try:
         def run_ch():
             return eigensolve(op, 3, method="DPR", tolerance=1e-8,
@@ -535,6 +547,15 @@ def main():
             "error": f"backend unavailable: {info}",
         }, 1)
 
+    # Soft wall-clock deadline: remote compiles cost 20-90 s each and
+    # this harness now runs ~10 jitted programs; the artifact (one JSON
+    # line) must exist even if sections run long, so optional sections
+    # are skipped once the deadline passes rather than risking the
+    # driver killing the process before _emit.
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_DEADLINE_S", "1500"))
+    _DEADLINE[0] = deadline
+
     errors = {}
     spmm = None
     try:
@@ -545,10 +566,13 @@ def main():
         solve = bench_davidson_solve()
     except Exception as e:  # noqa: BLE001
         solve = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
-    try:
-        remainder = bench_remainder_path()
-    except Exception as e:  # noqa: BLE001
-        remainder = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+    if time.monotonic() < deadline:
+        try:
+            remainder = bench_remainder_path()
+        except Exception as e:  # noqa: BLE001
+            remainder = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+    else:
+        remainder = {"skipped": "bench deadline passed"}
 
     details = {
         "davidson_1M_matrix_free": solve,
