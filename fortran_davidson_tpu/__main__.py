@@ -72,6 +72,8 @@ def _cmd_solve(args) -> int:
               max_iterations=args.max_iterations, dtype=args.dtype,
               relative_tolerance=args.relative_tolerance,
               refined=args.refined, final_polish=args.final_polish)
+    if args.refined and not args.sharded:
+        kw["carry_layout"] = args.carry_layout
     if args.initial_vectors:
         kw["initial_vectors"] = np.load(args.initial_vectors)
     if args.max_dim_sub:
@@ -128,6 +130,11 @@ def main(argv=None) -> int:
     ps.add_argument("--final-polish", type=int, default=0,
                     metavar="ITERS",
                     help="in-solve eigenpair polish (requires --refined)")
+    ps.add_argument("--carry-layout", choices=["flat", "chunked"],
+                    default="flat",
+                    help="refined-path carry storage; 'chunked' removes "
+                    "the per-iteration relayout copies (single-chip "
+                    "only, requires --refined)")
     ps.add_argument("--sharded", action="store_true",
                     help="row-shard over all visible devices")
     ps.add_argument("--eigenvectors", metavar="OUT.npy",

@@ -66,6 +66,11 @@ def main(argv=None) -> int:
                         "refined solve (fastest 10M-to-1e-8 recipe: "
                         "1.33 s warm vs 2.37 s cold refined; implies "
                         "--refined)")
+    parser.add_argument("--carry-layout", choices=["flat", "chunked"],
+                        default="flat",
+                        help="refined-path storage of the tall carries; "
+                        "'chunked' removes the per-iteration relayout "
+                        "copies (single-chip only, requires --refined)")
     args = parser.parse_args(argv)
     if args.progressive:
         args.refined = True
@@ -95,6 +100,8 @@ def main(argv=None) -> int:
                   max_iterations=args.max_iterations, dtype="float32",
                   relative_tolerance=True, expansion=args.expansion,
                   refined=args.refined, final_polish=args.final_polish)
+    if args.refined and not args.sharded:
+        common["carry_layout"] = args.carry_layout
 
     loose = dict(common, tolerance=max(args.tolerance, 1e-3),
                  refined=False, final_polish=0, max_iterations=30)
