@@ -32,6 +32,8 @@ def _finish(res):
         converged=bool(res.converged),
         stalled=bool(np.asarray(res.stalled)) if res.stalled is not None
         else None,
+        inner_iterations=(None if res.inner_iterations is None
+                          else int(res.inner_iterations)),
         eigenvalues=[float(v) for v in res.eigenvalues],
         max_residual=float(np.max(np.asarray(res.residual_norms))),
     )

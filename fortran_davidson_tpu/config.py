@@ -419,6 +419,9 @@ class DavidsonResult:
     stalled: jnp.ndarray = None       # scalar bool: the refined loop hit
     #   its attainable floor (zero admitted correction columns, or no
     #   residual improvement for core.loop._PLATEAU_ITERS iterations)
+    inner_iterations: jnp.ndarray = None  # scalar int (GJD only):
+    #   cumulative inner-MINRES iterations across the solve — the cost
+    #   the adaptive gjd_inner_schedule reduces; None for DPR/OLSEN
     #   and exited early; with ``final_polish`` the polish may still
     #   report converged=True against TRUE residuals. Distinguishes
     #   "floor reached" from plain running-out-of-iterations.
@@ -431,7 +434,8 @@ class DavidsonResult:
 def result_flatten(res: DavidsonResult):
     return (res.eigenvalues, res.eigenvectors, res.iterations, res.converged,
             res.converged_pairs, res.residual_norms, res.residual_history,
-            res.subspace_dims, res.operator_columns, res.stalled), None
+            res.subspace_dims, res.operator_columns, res.stalled,
+            res.inner_iterations), None
 
 
 def result_unflatten(aux, children):

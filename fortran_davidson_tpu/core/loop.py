@@ -136,6 +136,12 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
     )
     if gen:
         state["BV"] = BV0
+    if cfg.method == "GJD":
+        # Cumulative inner-MINRES iterations across the solve — the
+        # cost metric the adaptive gjd_inner_schedule reduces (the
+        # reference has no analogue: its DSYSV factorizes exactly,
+        # ``src/davidson.f90:719-732``).
+        state["inner_ops"] = jnp.asarray(0, jnp.int32)
     if cfg.refined:
         # Residual-plateau tracking (precise path only): at scale the
         # f32-stored basis floors the attainable in-loop residual
@@ -366,13 +372,16 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
 
         op_cols = st["op_cols"]
 
+        gjd = cfg.method == "GJD"
+        inner_ops = st["inner_ops"] if gjd else None
+
         def no_update(_):
             # hoist implies not gen; the hoisted block ran (and is
             # discarded here), so its operator columns are still charged.
             opc0 = op_cols + hoist_applied if hoist else op_cols
             out = ((V, AV, m, col_ok, opc0) if not gen
                    else (V, AV, BV, m, col_ok, opc0))
-            return out
+            return out + (inner_ops,) if gjd else out
 
         def new_block():
             # The correction block has kk columns (k for lowest-k,
@@ -425,18 +434,21 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                         cfg.gjd_inner_tol, 1e-2)
                 else:
                     inner_tol = cfg.gjd_inner_tol
-                corr = corr_mod.gjd_correction(
+                corr, it_in = corr_mod.gjd_correction(
                     A.matmat, B.matmat if gen else None, w[:kk], X, R,
                     corr_mask, cfg.gjd_inner_iters, inner_tol,
                     diag_a=diag_a if precond else None,
                     diag_b=diag_b if (precond and gen) else None,
                     olsen_start=cfg.gjd_precond == "olsen",
-                    scale=cfg.gjd_precond == "dpr")
+                    scale=cfg.gjd_precond == "dpr",
+                    return_inner_iters=True)
+                it_inner = it_in.astype(jnp.int32)
             Q, alive_q = orthogonal.orthonormalize_block(
                 V, corr, corr_mask, n_reorth=cfg.n_reorth, method=cfg.ortho,
                 precise=precise)
             AQ = A.matmat(Q)
-            return Q, AQ, alive_q
+            return Q, AQ, alive_q, (it_inner if cfg.method == "GJD"
+                                    else jnp.zeros((), jnp.int32))
 
         # Hoist the new-block computation OUT of the expand cond branch
         # for the refined standard path with cheap (non-Krylov)
@@ -461,9 +473,9 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
 
         def expand(_):
             if hoist:
-                Q, AQ, alive_q = hoisted
+                Q, AQ, alive_q, it_inner = hoisted
             else:
-                Q, AQ, alive_q = new_block()
+                Q, AQ, alive_q, it_inner = new_block()
             # Columns A.matmat actually ran on (pre-RQ-gate): the honest
             # operator_columns charge for every precise path, hoisted or
             # not. Non-precise paths have no gate, so this equals the
@@ -525,8 +537,10 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                     BV2 = t_write(BV, BQ, m)
                 else:
                     BV2 = BV + t_chunk(jnp.roll(BQ, m, axis=1))
-                return (V2, AV2, BV2, m2, ok2, charged)
-            return (V2, AV2, m2, ok2, charged)
+                out = (V2, AV2, BV2, m2, ok2, charged)
+            else:
+                out = (V2, AV2, m2, ok2, charged)
+            return out + (inner_ops + it_inner,) if gjd else out
 
         def collapse(_):
             # NOTE: recompute V@W2 / AV@W2 rather than slicing the Ritz
@@ -574,14 +588,18 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 BX2 = t_dot(BV, W2)
                 BQc = orthogonal.right_tri_solve(BX2, Rc)
                 BVn = t_write(jnp.zeros_like(BV), BQc, 0)
-                return (Vn, AVn, BVn, mn, okn, opc)
-            return (Vn, AVn, mn, okn, opc)
+                out = (Vn, AVn, BVn, mn, okn, opc)
+            else:
+                out = (Vn, AVn, mn, okn, opc)
+            return out + (inner_ops,) if gjd else out
 
         def step(_):
             # Expansion iff current dim <= max_dim (``src/davidson.f90:195``).
             return jax.lax.cond(m <= cfg.max_dim, expand, collapse, None)
 
         new = jax.lax.cond(all_conv, no_update, step, None)
+        if gjd:
+            new, inner_new = new[:-1], new[-1]
         if gen:
             Vn, AVn, BVn, mn, okn, opc = new
         else:
@@ -604,6 +622,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             history=history, dims=dims, op_cols=opc,
             stalled=stalled,
         )
+        if gjd:
+            out["inner_ops"] = inner_new
         if precise:
             # Plateau detection (see init_state): converged pairs are
             # excluded via has_conv so sticky semantics still win. A
@@ -650,6 +670,7 @@ def pack_result(final: dict) -> DavidsonResult:
         subspace_dims=final["dims"],
         operator_columns=final["op_cols"],
         stalled=final.get("stalled"),
+        inner_iterations=final.get("inner_ops"),
     )
 
 
@@ -706,6 +727,7 @@ def _apply_final_polish(cfg: ResolvedConfig, A: LinearOperator,
         operator_columns=res.operator_columns
         + 2 * cfg.final_polish * cfg.lowest,
         stalled=res.stalled,
+        inner_iterations=res.inner_iterations,
     )
 
 

@@ -117,3 +117,29 @@ def test_minres_stall_window_no_false_trigger_f64():
     bn = np.linalg.norm(np.asarray(b), axis=0)
     assert np.all(res <= 1e-11 * bn)
     assert _STALL_WINDOW >= 4
+
+
+def test_inner_iterations_telemetry():
+    """GJD solves report cumulative inner-MINRES iterations — the cost
+    metric the adaptive schedule reduces; DPR reports None."""
+    from fortran_davidson_tpu import eigensolve
+    from fortran_davidson_tpu.models.generators import (
+        generate_diagonal_dominant)
+    A = generate_diagonal_dominant(200, 1e-3)
+    r = eigensolve(A, 2, method="GJD", tolerance=1e-9)
+    assert r.inner_iterations is not None
+    assert int(r.inner_iterations) > 0
+    r_dpr = eigensolve(A, 2, method="DPR", tolerance=1e-9)
+    assert r_dpr.inner_iterations is None
+
+    # The adaptive schedule must never spend MORE inner work than the
+    # fixed one at matched outer iteration counts.
+    import jax.numpy as jnp
+    from fortran_davidson_tpu.models.generators import (
+        surrogate_hamiltonian)
+    op = surrogate_hamiltonian(2048, dtype=jnp.float32)
+    ad = eigensolve(op, 2, method="GJD", tolerance=1e-5, dtype="float32",
+                    refined=True, gjd_inner_schedule="adaptive")
+    fx = eigensolve(op, 2, method="GJD", tolerance=1e-5, dtype="float32",
+                    refined=True, gjd_inner_schedule="fixed")
+    assert int(ad.inner_iterations) <= int(fx.inner_iterations)
