@@ -102,6 +102,30 @@ def measure_gjd(n: int):
     return out
 
 
+def measure_wide(n: int):
+    """Lowest-20 at single-chip scale (the BASELINE north-star k;
+    the 10M-row variant is a pod workload). Wide-basis engine:
+    m_max = max_dim + k = 220, refined + polish to honest 1e-8."""
+    from fortran_davidson_tpu import eigensolve
+    from fortran_davidson_tpu.models.generators import surrogate_hamiltonian
+
+    op = surrogate_hamiltonian(n, dtype=jnp.float32)
+    kw = dict(method="DPR", tolerance=1e-8, relative_tolerance=True,
+              dtype="float32", refined=True, final_polish=3,
+              expansion="lowest-k", max_iterations=120)
+    out = {"probe": "wide_lowest20", "n": n}
+    for layout in ("flat", "chunked"):
+        r = eigensolve(op, 20, carry_layout=layout, **kw)
+        info = _finish(r)
+        t0 = time.perf_counter()
+        r = eigensolve(op, 20, carry_layout=layout, **kw)
+        info = _finish(r)
+        info["wall_s"] = time.perf_counter() - t0
+        out[layout] = info
+    print(json.dumps(out))
+    return out
+
+
 def measure_northstar():
     """The round-2 headline re-measurement command (VERDICT r2 #1)."""
     import subprocess
@@ -120,13 +144,17 @@ def measure_northstar():
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("probe", choices=["carry", "gjd", "northstar", "all"])
+    ap.add_argument("probe",
+                    choices=["carry", "gjd", "wide", "northstar", "all"])
     ap.add_argument("--n", type=int, default=10_000_384)
     args = ap.parse_args()
     if args.probe in ("carry", "all"):
         measure_carry(args.n)
     if args.probe in ("gjd", "all"):
         measure_gjd(args.n)
+    if args.probe in ("wide", "all"):
+        # 1M rows: (n, 220) V/AV fit one chip comfortably.
+        measure_wide(min(args.n, 1_000_448))
     if args.probe in ("northstar", "all"):
         measure_northstar()
 
