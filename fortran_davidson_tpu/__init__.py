@@ -19,6 +19,7 @@ from fortran_davidson_tpu.ops.operators import (
     as_operator,
     from_element_fn,
 )
+from fortran_davidson_tpu.scipy_compat import eigsh
 from fortran_davidson_tpu.ops.sparse import (BSROperator, ELLOperator,
                                               SlicedELLOperator)
 from fortran_davidson_tpu.solver import (eigensolve,
@@ -35,6 +36,7 @@ __all__ = [
     "DiagonalOperator",
     "ELLOperator",
     "SlicedELLOperator",
+    "eigsh",
     "LinearOperator",
     "MatrixFreeOperator",
     "as_operator",
