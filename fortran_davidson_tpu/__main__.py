@@ -130,8 +130,8 @@ def main(argv=None) -> int:
     ps.add_argument("--final-polish", type=int, default=0,
                     metavar="ITERS",
                     help="in-solve eigenpair polish (requires --refined)")
-    ps.add_argument("--carry-layout", choices=["flat", "chunked"],
-                    default="flat",
+    ps.add_argument("--carry-layout", choices=["auto", "flat", "chunked"],
+                    default="auto",
                     help="refined-path carry storage; 'chunked' removes "
                     "the per-iteration relayout copies (single-chip "
                     "only, requires --refined)")

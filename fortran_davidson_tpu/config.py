@@ -149,7 +149,7 @@ class DavidsonOptions:
         (``src/davidson.f90:199``), and iteration-count parity requires
         that schedule.
       carry_layout: storage layout of the tall basis/cache carries
-        (V, AV, BV) inside the solver loop. ``"flat"`` (default) keeps
+        (V, AV, BV) inside the solver loop. ``"flat"`` keeps
         ``(n, m_max)``; ``"chunked"`` stores them pre-chunked as
         ``(n/c, c, m_max)`` — the exact layout the compensated Gram's
         batched einsum consumes — so the ``(n, m) -> (n/c, c, m)``
@@ -160,11 +160,14 @@ class DavidsonOptions:
         per-element order, so trajectories are BIT-IDENTICAL to the
         flat layout (tests pin this). Requires ``refined=True``;
         single-device engines only (the GSPMD sharded path keeps flat
-        row-sharded carries).
+        row-sharded carries). ``"auto"`` (default) picks ``"chunked"``
+        whenever those requirements hold and the row count admits a
+        useful chunk — measured 111 -> 75 ms/iter (1.48x) on the
+        10M-row refined north star on v5e.
     """
 
     method: str = "DPR"
-    carry_layout: str = "flat"
+    carry_layout: str = "auto"
     max_iterations: int = 1000
     tolerance: float = 1e-8
     max_dim_sub: Optional[int] = None
@@ -212,15 +215,15 @@ class DavidsonOptions:
                     and self.cheb_degree >= 0),
                 InvalidOptionsError,
                 "cheb_degree must be a non-negative int or 'auto'")
-        require(self.carry_layout in ("flat", "chunked"),
+        require(self.carry_layout in ("auto", "flat", "chunked"),
                 InvalidOptionsError,
                 f"unknown carry_layout {self.carry_layout!r}")
-        require(self.carry_layout == "flat" or self.refined,
+        require(self.carry_layout != "chunked" or self.refined,
                 InvalidOptionsError,
                 "carry_layout='chunked' requires refined=True (the "
                 "chunked form is bit-identical only through the "
                 "compensated-Gram pipeline)")
-        require(self.carry_layout == "flat"
+        require(self.carry_layout != "chunked"
                 or self.orthonormalization == "cholqr2",
                 InvalidOptionsError,
                 "carry_layout='chunked' requires "
@@ -328,8 +331,29 @@ def validate_initial_vectors(initial_vectors, n: int, init_dim: int,
     return X0
 
 
+def _resolve_carry_layout(opts: DavidsonOptions, n: int,
+                          sharded: bool) -> str:
+    """Resolve ``carry_layout="auto"`` against the concrete problem.
+
+    Chunked wins (measured 1.48x per refined iteration at 10M rows on
+    v5e) whenever its requirements hold: the refined compensated-Gram
+    pipeline with CholeskyQR2 on a single-device engine, and a row
+    count whose largest power-of-two chunk divisor is big enough that
+    the batched Gram einsum stays MXU-shaped (a prime-ish n would
+    degrade the chunk toward 1 row and serialize the reduction).
+    """
+    if opts.carry_layout != "auto":
+        return str(opts.carry_layout)
+    from fortran_davidson_tpu.utils.ds import _chunk
+    if (opts.refined and opts.orthonormalization == "cholqr2"
+            and not sharded and _chunk(n, None) >= 256):
+        return "chunked"
+    return "flat"
+
+
 def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
-                    generalized: bool) -> ResolvedConfig:
+                    generalized: bool, sharded: bool = False
+                    ) -> ResolvedConfig:
     require(1 <= lowest, InvalidOptionsError, "lowest must be >= 1")
     cheb_auto = opts.cheb_degree == "auto"
     cheb_on = cheb_auto or opts.cheb_degree >= 2
@@ -391,7 +415,7 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
         cheb_degree=0 if cheb_auto else int(opts.cheb_degree),
         cheb_auto=cheb_auto,
         final_polish=int(opts.final_polish),
-        carry_layout=str(opts.carry_layout),
+        carry_layout=_resolve_carry_layout(opts, n, sharded),
     )
 
 

@@ -66,8 +66,8 @@ def main(argv=None) -> int:
                         "refined solve (fastest 10M-to-1e-8 recipe: "
                         "1.33 s warm vs 2.37 s cold refined; implies "
                         "--refined)")
-    parser.add_argument("--carry-layout", choices=["flat", "chunked"],
-                        default="flat",
+    parser.add_argument("--carry-layout", choices=["auto", "flat", "chunked"],
+                        default="auto",
                         help="refined-path storage of the tall carries; "
                         "'chunked' removes the per-iteration relayout "
                         "copies (single-chip only, requires --refined)")

@@ -170,7 +170,8 @@ def eigensolve_sharded(matrix, lowest: int, mesh: Mesh, second_matrix=None,
         require(B.shape == A.shape, OperatorError,
                 f"B shape {B.shape} does not match A shape {A.shape}")
 
-    cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None)
+    cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None,
+                          sharded=True)
     X0 = validate_initial_vectors(initial_vectors, A.shape[0],
                                   cfg.init_dim, dt)
     if X0 is not None:
