@@ -33,20 +33,24 @@ def _safe_div(num, den):
     return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
 
 
-# Inner no-progress cutoff: consecutive iterations without >= 0.1%
-# cumulative residual improvement before a column is frozen at its
-# attainable floor. In f32 at scale the shifted projected operator's
-# MINRES stalls well above tight tolerances (measured: late-stage 10M
-# solves grind the full 128-iteration cap with a flat residual); the
-# cutoff converts that grind into an early exit with the same correction
-# quality. At a true floor the residual trend is FLAT, so the window
-# trips regardless of how fine the threshold is; the fine 1e-3 threshold
-# protects slow-but-real convergence (ill-conditioned inner systems make
-# steady ~0.1-0.5%/iter progress in long plateaus — cumulative progress
-# over the window resets the counter). f64 parity-scale solves converge
-# orders per iteration and never come near it.
-_STALL_WINDOW = 8
-_STALL_IMPROVEMENT = 1e-3
+# Inner no-progress cutoff: a column is frozen unless its residual
+# improves by >= _STALL_IMPROVEMENT cumulatively within _STALL_WINDOW
+# consecutive iterations — i.e. it must sustain ~1.8%/iter average
+# progress to stay alive. Rationale (measured at the 10M-row f32
+# north-star scale): late-stage MINRES on the shifted projected
+# operator makes real-but-worthless progress — ~0.1-0.5%/iter in long
+# plateaus, so ~119 of the 128-iteration cap buy only a ~30% residual
+# improvement while each inner step costs a full block operator
+# application. A column progressing below the window rate would need
+# hundreds of iterations to reach any meaningful tolerance (far beyond
+# the cap), so cutting it early loses O(nothing) correction quality;
+# with the original finer threshold (0.1% per 8 iters) the 10M GJD
+# solve ground ~119 inner iterations per outer with adaptive == fixed
+# wall time. f64 parity-scale solves converge orders of magnitude per
+# iteration and never come near the window (iteration-count pins in
+# tests/test_parity.py and the BSE GJD=4 regression pin enforce this).
+_STALL_WINDOW = 16
+_STALL_IMPROVEMENT = 0.25
 
 
 def minres_block(matvec: Callable, B, *, maxiter: int, rtol: float,
