@@ -365,8 +365,10 @@ def _gram_plan(nbr, bs, K, bw, m, mv, x_item, b_item, out_item, v_item):
     """
     mp = max(128, -(-m // 128) * 128)
     mvp = max(128, -(-mv // 128) * 128)
+    # gram_vmem per R-row: the double-buffered pipelined v tile plus the
+    # tile's staged row results (ybuf) for the single per-tile gram dot.
     return _banded_plan(nbr, bs, K, bw, mp, x_item, b_item, out_item,
-                        gram_vmem=2 * bs * mvp * v_item,
+                        gram_vmem=(2 * mvp + mp) * bs * v_item,
                         fixed_vmem=mvp * mp * 4)
 
 
@@ -481,11 +483,17 @@ def _banded_gram_kernel(blocks_ref, v_ref, x_hbm, *rest, K: int, bw: int,
     rows 1:1). The (mv, mp) gram block accumulates in a
     constant-index-mapped VMEM output across the sequential TPU grid and
     is written back once, on the last tile.
+
+    The tile's row results are STAGED in a VMEM scratch and contracted
+    in ONE (R*bs)-deep gram dot per tile rather than R per-row dots:
+    the per-row accumulator read-modify-write serialized against the
+    MXU (measured 2.28 -> 1.61 ms on the v5e m=256 no-write sweep —
+    within 3% of the gram-free sweep; `experiments/fused_probe.py`).
     """
     if write_out:
-        out_hbm, g_ref, xbuf, sem, obuf, osem = rest
+        out_hbm, g_ref, xbuf, sem, obuf, osem, ybuf = rest
     else:
-        (g_ref, xbuf, sem) = rest
+        (g_ref, xbuf, sem, ybuf) = rest
         out_hbm = obuf = osem = None
     bs = blocks_ref.shape[1]
 
@@ -493,11 +501,7 @@ def _banded_gram_kernel(blocks_ref, v_ref, x_hbm, *rest, K: int, bw: int,
         y_i = jnp.dot(
             blocks_ref[i], xbuf[slot, i * bs:(i + K) * bs, :],
             preferred_element_type=_acc_dtype(blocks_ref.dtype))
-        # Gram partial on the VMEM-resident tile: (bs, mv)ᵀ (bs, mp).
-        g_ref[:] += jax.lax.dot_general(
-            v_ref[pl.ds(i * bs, bs), :], y_i.astype(v_ref.dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(g_ref.dtype)
+        ybuf[pl.ds(i * bs, bs), :] = y_i.astype(ybuf.dtype)
         return y_i
 
     def init_gram():
@@ -507,6 +511,10 @@ def _banded_gram_kernel(blocks_ref, v_ref, x_hbm, *rest, K: int, bw: int,
                   NB=NB, compute_row=compute_row,
                   out=(out_hbm, obuf, osem) if write_out else None,
                   on_first_tile=init_gram)
+    g_ref[:] += jax.lax.dot_general(
+        v_ref[:], ybuf[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(g_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("bandwidth", "write_out",
@@ -588,6 +596,7 @@ def banded_bsr_spmm_gram(blocks, x, v=None, *, bandwidth: int,
                   + (nbr // R) * W * bs * mp * x.dtype.itemsize
                   + nbr * bs * mvp * v.dtype.itemsize)
     gram_flops = 2 * nbr * bs * mvp * mp
+    ybuf = pltpu.VMEM((R * bs, mp), v.dtype)  # staged tile rows (gram)
     if write_out:
         out = pl.pallas_call(
             kernel,
@@ -597,6 +606,7 @@ def banded_bsr_spmm_gram(blocks, x, v=None, *, bandwidth: int,
             scratch_shapes=scratch + [
                 pltpu.VMEM((_N_OUT_BUFFERS, R, bs, mp), out_dtype),
                 pltpu.SemaphoreType.DMA((_N_OUT_BUFFERS,)),
+                ybuf,
             ],
             out_shape=[jax.ShapeDtypeStruct((nbr, bs, mp), out_dtype),
                        g_shape],
@@ -618,7 +628,7 @@ def banded_bsr_spmm_gram(blocks, x, v=None, *, bandwidth: int,
         grid=(nbr // R,),
         in_specs=in_specs,
         out_specs=g_spec,
-        scratch_shapes=scratch,
+        scratch_shapes=scratch + [ybuf],
         out_shape=g_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -749,13 +759,14 @@ def _banded_q_gram_kernel(blocks_ref, srow_ref, diag_ref, v_ref, x_hbm,
                           write_out: bool, NB: int = _N_WINDOW_BUFFERS):
     """int8-quantized fused SpMM + Gram (see :func:`_banded_gram_kernel`
     for the fusion rationale and :func:`_banded_q_kernel` for the
-    quantization scheme). With int8 blocks the plain kernel's HBM write
-    of Y is an even larger FRACTION of total traffic, so consuming Y in
-    VMEM matters more."""
+    quantization scheme — and the former's tile-staged single gram dot,
+    which replaced the per-row accumulator read-modify-writes). With
+    int8 blocks the plain kernel's HBM write of Y is an even larger
+    FRACTION of total traffic, so consuming Y in VMEM matters more."""
     if write_out:
-        out_hbm, g_ref, xbuf, sem, obuf, osem = rest
+        out_hbm, g_ref, xbuf, sem, obuf, osem, ybuf = rest
     else:
-        (g_ref, xbuf, sem) = rest
+        (g_ref, xbuf, sem, ybuf) = rest
         out_hbm = obuf = osem = None
     bs = blocks_ref.shape[1]
 
@@ -765,10 +776,7 @@ def _banded_q_gram_kernel(blocks_ref, srow_ref, diag_ref, v_ref, x_hbm,
                       preferred_element_type=jnp.float32)
         ctr = xbuf[slot, (i + bw) * bs:(i + bw + 1) * bs, :]
         y_i = acc + diag_ref[i][:, None] * ctr.astype(jnp.float32)
-        g_ref[:] += jax.lax.dot_general(
-            v_ref[pl.ds(i * bs, bs), :], y_i.astype(v_ref.dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(g_ref.dtype)
+        ybuf[pl.ds(i * bs, bs), :] = y_i.astype(ybuf.dtype)
         return y_i
 
     def init_gram():
@@ -778,6 +786,10 @@ def _banded_q_gram_kernel(blocks_ref, srow_ref, diag_ref, v_ref, x_hbm,
                   NB=NB, compute_row=compute_row,
                   out=(out_hbm, obuf, osem) if write_out else None,
                   on_first_tile=init_gram)
+    g_ref[:] += jax.lax.dot_general(
+        v_ref[:], ybuf[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(g_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("bandwidth", "write_out",
@@ -853,6 +865,7 @@ def banded_q_bsr_spmm_gram(qblocks, scale_rows, diag, x, v=None, *,
             scratch_shapes=scratch + [
                 pltpu.VMEM((_N_OUT_BUFFERS, R, bs, mp), out_dtype),
                 pltpu.SemaphoreType.DMA((_N_OUT_BUFFERS,)),
+                pltpu.VMEM((R * bs, mp), v.dtype),
             ],
             out_shape=[jax.ShapeDtypeStruct((nbr, bs, mp), out_dtype),
                        g_shape],
@@ -873,7 +886,7 @@ def banded_q_bsr_spmm_gram(qblocks, scale_rows, diag, x, v=None, *,
         grid=(nbr // R,),
         in_specs=in_specs,
         out_specs=g_spec,
-        scratch_shapes=scratch,
+        scratch_shapes=scratch + [pltpu.VMEM((R * bs, mp), v.dtype)],
         out_shape=g_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
