@@ -166,3 +166,39 @@ class TestValidation:
             eigensolve_sharded(op, 2, default_mesh(8), dtype="float32",
                                refined=True, carry_layout="chunked",
                                tolerance=1e-3)
+
+
+def test_auto_carry_layout_resolution():
+    """``carry_layout="auto"`` (the default) resolves to chunked exactly
+    when the chunked engine's requirements hold: refined + cholqr2 +
+    single-device + a usable power-of-two chunk divisor of n."""
+    from fortran_davidson_tpu.config import resolve_options
+
+    def layout(opts, n=100_096, sharded=False):
+        return resolve_options(opts, 3, n, False,
+                               sharded=sharded).carry_layout
+
+    assert layout(DavidsonOptions(refined=True)) == "chunked"
+    assert layout(DavidsonOptions()) == "flat"                # not refined
+    assert layout(DavidsonOptions(refined=True),
+                  sharded=True) == "flat"                     # GSPMD path
+    assert layout(DavidsonOptions(refined=True,
+                                  orthonormalization="qr")) == "flat"
+    # A prime-ish n degrades the chunk divisor toward 1 row: stay flat.
+    assert layout(DavidsonOptions(refined=True), n=100_097) == "flat"
+    # Explicit choices pass through untouched.
+    assert layout(DavidsonOptions(refined=True,
+                                  carry_layout="flat")) == "flat"
+    assert layout(DavidsonOptions(refined=True,
+                                  carry_layout="chunked")) == "chunked"
+
+
+def test_auto_default_solves_chunked_bit_identical():
+    """A refined solve under the auto default must produce the exact
+    flat-layout trajectory (the bit-identity contract is what makes the
+    default flip safe)."""
+    A = generate_diagonal_dominant(768, 1e-3)
+    kw = dict(method="DPR", tolerance=1e-10, refined=True, final_polish=1)
+    auto = eigensolve(A, 3, **kw)              # default carry_layout="auto"
+    flat = eigensolve(A, 3, carry_layout="flat", **kw)
+    _assert_bit_identical(flat, auto)

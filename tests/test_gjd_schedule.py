@@ -143,3 +143,35 @@ def test_inner_iterations_telemetry():
     fx = eigensolve(op, 2, method="GJD", tolerance=1e-5, dtype="float32",
                     refined=True, gjd_inner_schedule="fixed")
     assert int(ad.inner_iterations) <= int(fx.inner_iterations)
+
+
+def test_minres_rate_cutoff_on_slow_progress():
+    """The stall bar is a sustained-progress-RATE requirement: a column
+    creeping at ~0.5%/iter (real but worthless progress — measured at
+    the 10M f32 scale grinding ~119 of the 128-iteration cap to buy a
+    ~30% residual improvement) must be cut well before the cap, while a
+    healthy column still converges to its tolerance."""
+    from fortran_davidson_tpu.core.krylov import _STALL_IMPROVEMENT
+    # The bar must demand a real rate (>= ~1%/iter) over a window long
+    # enough that early superlinear lag does not false-trigger.
+    assert _STALL_IMPROVEMENT / _STALL_WINDOW >= 0.01
+    assert _STALL_WINDOW >= 8
+
+    n = 400
+    # Column 0: well-conditioned SPD system. Column 1: condition ~1e8 in
+    # f32 — MINRES progress per iteration is microscopic, the f32 floor.
+    d_good = jnp.linspace(1.0, 2.0, n).astype(jnp.float32)
+    d_bad = jnp.logspace(-4, 4, n).astype(jnp.float32)
+
+    def matvec(X):
+        return jnp.stack([d_good * X[:, 0], d_bad * X[:, 1]], axis=1)
+
+    b = jnp.ones((n, 2), jnp.float32)
+    x, iters = minres_block(matvec, b, maxiter=4096, rtol=1e-6,
+                            return_iters=True)
+    # The healthy column's solution is accurate...
+    r0 = float(jnp.linalg.norm(d_good * x[:, 0] - b[:, 0]))
+    assert r0 <= 1e-5 * float(jnp.linalg.norm(b[:, 0]))
+    # ...and the floor-limited column was cut far below the cap instead
+    # of grinding thousands of worthless iterations.
+    assert int(iters) < 1024
