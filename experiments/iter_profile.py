@@ -123,6 +123,68 @@ def main(stages):
         Q = jnp.asarray(rng.standard_normal((N, K)), jnp.float32)
         out["dus_write_ms"] = timed(upd, V, Q) * 1e3
 
+    if "chunked" in stages:
+        # Chunked-carry layout components (round 3: the default refined
+        # engine at scale) — where do the remaining ~75 ms/iter go?
+        from fortran_davidson_tpu.models.generators import (
+            surrogate_hamiltonian)
+        from fortran_davidson_tpu.utils.ds import _chunk, gram_ds_pre
+        c = _chunk(N, None)
+        Vc = V.reshape(N // c, c, M)
+        AVc = AV.reshape(N // c, c, M)
+
+        @jax.jit
+        def gpre(Vc, AVc):
+            return gram_ds_pre(Vc, AVc).hi[0, 0]
+
+        out["gram_ds_pre_ms"] = timed(gpre, Vc, AVc) * 1e3
+
+        @jax.jit
+        def tdot(Vc, Wk):
+            y = jnp.einsum("rcm,mk->rck", Vc, Wk,
+                           preferred_element_type=jnp.float32)
+            return y[0, 0, 0]
+
+        out["einsum_ritz_ms"] = timed(tdot, Vc, Wk) * 1e3
+
+        Qc = jnp.asarray(
+            np.random.default_rng(1).standard_normal((N // c, c, K)),
+            jnp.float32)
+
+        @jax.jit
+        def updc(Vc, Qc):
+            z0 = jnp.zeros((), jnp.int32)
+            return jax.lax.dynamic_update_slice(
+                Vc, Qc, (z0, z0, jnp.asarray(8, jnp.int32)))[0, 0, 0]
+
+        out["dus_chunked_ms"] = timed(updc, Vc, Qc) * 1e3
+
+        op = surrogate_hamiltonian(N, dtype=jnp.float32)
+        Xk = jnp.asarray(
+            np.random.default_rng(2).standard_normal((N, K)), jnp.float32)
+
+        @jax.jit
+        def apply_op(Xk):
+            return op.matmat(Xk)[0, 0]
+
+        out["op_matmat_k_ms"] = timed(apply_op, Xk) * 1e3
+
+        from fortran_davidson_tpu.core import refine
+        Rk = jnp.asarray(
+            np.random.default_rng(4).standard_normal((N, K)), jnp.float32)
+
+        @jax.jit
+        def resid(Vc, AVc, Wk):
+            x = jnp.einsum("rcm,mk->rck", Vc, Wk,
+                           preferred_element_type=jnp.float32)
+            ax = jnp.einsum("rcm,mk->rck", AVc, Wk,
+                            preferred_element_type=jnp.float32)
+            lam = jnp.arange(1.0, K + 1.0, dtype=jnp.float32)
+            r = ax - x * lam[None, None, :]
+            return r[0, 0, 0]
+
+        out["residual_assembly_ms"] = timed(resid, Vc, AVc, Wk) * 1e3
+
     print(json.dumps(out), flush=True)
 
 
