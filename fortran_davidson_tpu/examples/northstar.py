@@ -39,6 +39,12 @@ def main(argv=None) -> int:
     parser.add_argument("--mode", choices=["free", "banded"], default="free")
     parser.add_argument("--block-size", type=int, default=128)
     parser.add_argument("--bandwidth", type=int, default=1)
+    parser.add_argument("--quantize", action="store_true",
+                        help="banded mode: int8 block storage with the "
+                        "exact f32 diagonal, generated+quantized on the "
+                        "HOST so the f32 table never touches HBM — the "
+                        "full 10M-row north-star banded matrix fits ONE "
+                        "v5e chip (3.8 GB of blocks vs 15.4 GB f32)")
     parser.add_argument("--sharded", action="store_true")
     parser.add_argument("--max-iterations", type=int, default=100)
     parser.add_argument("--expansion", choices=["doubling", "lowest-k"],
@@ -84,6 +90,15 @@ def main(argv=None) -> int:
 
     if args.mode == "free":
         op = surrogate_hamiltonian(args.n, dtype=jnp.float32)
+    elif args.quantize:
+        from fortran_davidson_tpu.ops.sparse import (
+            generate_banded_bsr_quantized)
+        bs = args.block_size
+        nbr = args.n // bs
+        backend = ("pallas" if jax.default_backend() == "tpu" else "xla")
+        op = generate_banded_bsr_quantized(nbr, bs,
+                                           bandwidth=args.bandwidth,
+                                           coupling=1e-3, backend=backend)
     else:
         from fortran_davidson_tpu.ops.sparse import generate_banded_bsr
         bs = args.block_size

@@ -969,6 +969,62 @@ def quantize_banded_int8(op: BSROperator) -> QuantizedBandedOperator:
                                    diag, bandwidth=bw, backend=op.backend)
 
 
+def generate_banded_bsr_quantized(n_block_rows: int, bs: int,
+                                  bandwidth: int = 1,
+                                  coupling: float = 1e-3, seed: int = 0,
+                                  backend: str = "xla",
+                                  ) -> QuantizedBandedOperator:
+    """Generate + int8-quantize entirely on the HOST for beyond-HBM
+    scales.
+
+    ``quantize_banded_int8(generate_banded_bsr(...))`` stages the full
+    f32 block table on the device first — 15.4 GB at the 10M-row
+    north-star shape, more than one v5e's HBM. This constructor runs
+    the identical assembly and quantization math in numpy so only the
+    int8 blocks + f32 scales/diagonal ship to the device (4x smaller:
+    the whole BASELINE north-star banded matrix fits ONE chip).
+    Bit-identical to the device path (pinned by tests/test_quantized.py).
+    """
+    rng = np.random.default_rng(seed)
+    dt = np.float32
+    nbr, bw = n_block_rows, bandwidth
+    K = 2 * bw + 1
+    require(nbr >= K, OperatorError,
+            f"need at least K={K} block rows for bandwidth {bw}")
+    # Identical assembly to generate_banded_bsr (kept in (nbr, K, bs, bs)
+    # band-slot-major form — the quantizer's natural axis order).
+    vals = np.zeros((nbr, K, bs, bs), dt)
+    for d in range(1, bw + 1):
+        cnt = nbr - d
+        if cnt <= 0:
+            continue
+        blocks = (rng.random((cnt, bs, bs)).astype(dt) - 0.5) * coupling
+        r = np.arange(cnt)
+        vals[r, bw + d] = blocks
+        vals[r + d, bw - d] = blocks.transpose(0, 2, 1)
+    dblocks = (rng.random((nbr, bs, bs)).astype(dt) - 0.5) * coupling
+    dblocks = dblocks + dblocks.transpose(0, 2, 1)
+    diag = np.arange(1, nbr * bs + 1, dtype=dt).reshape(nbr, bs)
+    idx = np.arange(bs)
+    dblocks[:, idx, idx] = diag
+    vals[:, bw] = dblocks
+
+    # Identical quantization math to quantize_banded_int8, numpy-side.
+    # b4[r, i, k, j] == vals[r, k, i, j] (the stored row-major block
+    # layout); zero the center slot's diagonal for the off-split.
+    b4 = vals.transpose(0, 2, 1, 3)
+    b4[:, idx, bw, idx] = 0.0
+    amax = np.max(np.abs(b4), axis=(1, 3))              # (nbr, K)
+    scales = np.where(amax > 0, amax / dt(127.0), dt(1.0)).astype(dt)
+    q4 = np.clip(np.round(b4 / scales[:, None, :, None]),
+                 -127, 127).astype(np.int8)
+    scale_rows = np.broadcast_to(
+        scales[:, :, None], (nbr, K, bs)).reshape(nbr, K * bs)
+    return QuantizedBandedOperator(q4.reshape(nbr, bs, K * bs),
+                                   np.ascontiguousarray(scale_rows), diag,
+                                   bandwidth=bw, backend=backend)
+
+
 @jax.tree_util.register_pytree_node_class
 class HybridBandedOperator(LinearOperator):
     """Band + remainder split of an unstructured sparse operator.

@@ -190,3 +190,27 @@ class TestQuantizedRefined:
                            max_iterations=200)
         assert bool(r.converged)
         assert float(np.max(np.asarray(r.residual_norms))) < 1e-8
+
+
+def test_host_quantized_generator_bit_identical():
+    """generate_banded_bsr_quantized (host-side numpy, for beyond-HBM
+    scales) must match quantize_banded_int8(generate_banded_bsr(...))
+    bit-for-bit: same assembly, same quantization math."""
+    import numpy as np
+
+    from fortran_davidson_tpu.ops.sparse import (
+        generate_banded_bsr, generate_banded_bsr_quantized,
+        quantize_banded_int8)
+
+    for bw, seed in ((1, 0), (2, 7)):
+        dev = quantize_banded_int8(
+            generate_banded_bsr(12, 8, bandwidth=bw, coupling=1e-3,
+                                seed=seed, dtype=jnp.float32))
+        host = generate_banded_bsr_quantized(12, 8, bandwidth=bw,
+                                             coupling=1e-3, seed=seed)
+        np.testing.assert_array_equal(np.asarray(dev.qblocks),
+                                      np.asarray(host.qblocks))
+        np.testing.assert_array_equal(np.asarray(dev.scale_rows),
+                                      np.asarray(host.scale_rows))
+        np.testing.assert_array_equal(np.asarray(dev.diag),
+                                      np.asarray(host.diag))
