@@ -45,6 +45,14 @@ def write_config_fingerprint(directory: str, cfg, n: int) -> None:
         json.dump(_config_fingerprint(cfg, n), f, indent=1, sort_keys=True)
 
 
+def _saved_fingerprint(directory: str) -> Optional[dict]:
+    path = os.path.join(os.path.abspath(directory), _CONFIG_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def check_config_fingerprint(directory: str, cfg, n: int) -> None:
     """Raise a CLEAR error when resuming with a different configuration.
 
@@ -54,11 +62,9 @@ def check_config_fingerprint(directory: str, cfg, n: int) -> None:
     shape error at best — or silently wrong semantics (e.g. a different
     tolerance) at worst.
     """
-    path = os.path.join(os.path.abspath(directory), _CONFIG_FILE)
-    if not os.path.exists(path):
+    saved = _saved_fingerprint(directory)
+    if saved is None:
         return  # pre-fingerprint checkpoint: fall through to orbax checks
-    with open(path) as f:
-        saved = json.load(f)
     now = _config_fingerprint(cfg, n)
     diffs = {key: (saved.get(key), now[key]) for key in now
              if saved.get(key) != now[key]}
@@ -151,12 +157,32 @@ def eigensolve_checkpointed(matrix, lowest: int, directory: str,
         B = None if B is None else shard_operator(B, mesh)
         constrain = RowShardConstraint(mesh)
     require(A.shape[0] == A.shape[1], OperatorError, "A must be square")
-    cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None)
+    cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None,
+                          sharded=constrain is not None)
 
-    init, _ = get_stepper(cfg, constrain)
     state = None
     if resume and latest_step(directory) is not None:
+        # Resume must adopt the carry layout the checkpoint was WRITTEN
+        # with: the carry shapes differ between layouts ((n, m) flat vs
+        # (n/c, c, m) chunked), so a layout drift — e.g. the "auto"
+        # default now resolving differently than when the run started —
+        # would otherwise fail the fingerprint check (or the orbax
+        # restore) opaquely. Only an explicit "auto" is rebound; an
+        # explicit flat/chunked request still fails loudly on mismatch.
+        saved = _saved_fingerprint(directory)
+        if (opts.carry_layout == "auto" and saved is not None
+                and saved.get("carry_layout") in ("flat", "chunked")
+                and saved["carry_layout"] != cfg.carry_layout
+                # chunked carries are single-device; a mesh resume of a
+                # chunked checkpoint must fail the fingerprint check
+                # loudly rather than crash inside run_state.
+                and not (constrain is not None
+                         and saved["carry_layout"] == "chunked")):
+            cfg = dataclasses.replace(cfg,
+                                      carry_layout=saved["carry_layout"])
         check_config_fingerprint(directory, cfg, A.shape[0])
+    init, _ = get_stepper(cfg, constrain)
+    if resume and latest_step(directory) is not None:
         template = jax.eval_shape(lambda: init(A, B))
         state = restore_state(directory, template)
     write_config_fingerprint(directory, cfg, A.shape[0])

@@ -1012,7 +1012,9 @@ def generate_banded_bsr_quantized(n_block_rows: int, bs: int,
     # Identical quantization math to quantize_banded_int8, numpy-side.
     # b4[r, i, k, j] == vals[r, k, i, j] (the stored row-major block
     # layout); zero the center slot's diagonal for the off-split.
-    b4 = vals.transpose(0, 2, 1, 3)
+    # Copy: transpose returns a VIEW, and the diagonal zeroing must not
+    # mutate ``vals`` (which a future caller may want unquantized).
+    b4 = vals.transpose(0, 2, 1, 3).copy()
     b4[:, idx, bw, idx] = 0.0
     amax = np.max(np.abs(b4), axis=(1, 3))              # (nbr, K)
     scales = np.where(amax > 0, amax / dt(127.0), dt(1.0)).astype(dt)

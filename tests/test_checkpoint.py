@@ -116,6 +116,100 @@ class TestShardedCheckpoint:
         assert int(res2.iterations) == int(ref.iterations)
 
 
+class TestMeshRefinedCheckpoint:
+    def test_mesh_refined_resolves_sharded_layout(self, tmp_path):
+        """Advisor r3 (high): a mesh+refined checkpointed solve must
+        resolve carry_layout='auto' with sharded=True — i.e. to 'flat'
+        — instead of crashing on the single-device-only chunked
+        layout. n=512 is exactly a shape where the single-device auto
+        resolution WOULD pick chunked (_chunk(512) = 512 >= 256)."""
+        import jax.numpy as jnp
+        from fortran_davidson_tpu.parallel import default_mesh
+        A = generate_diagonal_dominant(512, 1e-3)
+        A32 = jnp.asarray(np.asarray(A), jnp.float32)
+        mesh = default_mesh(8)
+        res = eigensolve_checkpointed(
+            A32, 3, str(tmp_path), every=4, mesh=mesh, dtype="float32",
+            refined=True, tolerance=1e-6, max_iterations=80)
+        assert bool(res.converged)
+        # And the resume leg of the same long-pod-run use case.
+        res2 = eigensolve_checkpointed(
+            A32, 3, str(tmp_path), every=4, mesh=mesh, dtype="float32",
+            refined=True, tolerance=1e-6, max_iterations=80)
+        assert bool(res2.converged)
+        assert int(res2.iterations) == int(res.iterations)
+
+
+class TestAutoLayoutResume:
+    def test_auto_resume_adopts_recorded_flat_layout(self, tmp_path):
+        """Advisor r3 (medium): checkpoints written before the 'auto'
+        default (fingerprint records carry_layout='flat') must resume
+        under default options even where 'auto' now resolves 'chunked'
+        — the resume rebinds 'auto' to the recorded layout."""
+        import jax.numpy as jnp
+        A = generate_diagonal_dominant(512, 1e-3)
+        A32 = jnp.asarray(np.asarray(A), jnp.float32)
+        d = str(tmp_path / "flat_ckpt")
+        common = dict(every=2, dtype="float32", refined=True,
+                      tolerance=1e-6, max_iterations=80)
+
+        class Crash(RuntimeError):
+            pass
+
+        calls = []
+
+        def crash_once(state):
+            calls.append(1)
+            if len(calls) == 1:
+                raise Crash
+
+        # Writer: an explicit-flat run (stands in for a pre-'auto'
+        # checkpoint) interrupted mid-solve.
+        with pytest.raises(Crash):
+            eigensolve_checkpointed(A32, 3, d, carry_layout="flat",
+                                    callbacks=(crash_once,), **common)
+        assert latest_step(d) is not None
+        # Resumer: default options — 'auto' resolves 'chunked' at this
+        # shape, but the resume must adopt the recorded 'flat'.
+        res = eigensolve_checkpointed(A32, 3, d, **common)
+        assert bool(res.converged)
+        # The oracle: an uninterrupted flat solve.
+        ref = fdt.eigensolve(A32, 3, carry_layout="flat",
+                             **{k: v for k, v in common.items()
+                                if k != "every"})
+        assert int(res.iterations) == int(ref.iterations)
+        np.testing.assert_array_equal(np.asarray(res.eigenvalues),
+                                      np.asarray(ref.eigenvalues))
+
+    def test_explicit_layout_mismatch_still_raises(self, tmp_path):
+        """An EXPLICIT layout request that contradicts the checkpoint
+        keeps failing loudly (only 'auto' is rebound)."""
+        import jax.numpy as jnp
+        from fortran_davidson_tpu.utils.errors import InvalidOptionsError
+        A = generate_diagonal_dominant(512, 1e-3)
+        A32 = jnp.asarray(np.asarray(A), jnp.float32)
+        d = str(tmp_path / "explicit_ckpt")
+        common = dict(every=2, dtype="float32", refined=True,
+                      tolerance=1e-6, max_iterations=80)
+
+        class Crash(RuntimeError):
+            pass
+
+        calls = []
+
+        def crash_once(state):
+            calls.append(1)
+            if len(calls) == 1:
+                raise Crash
+
+        with pytest.raises(Crash):
+            eigensolve_checkpointed(A32, 3, d, carry_layout="flat",
+                                    callbacks=(crash_once,), **common)
+        with pytest.raises(InvalidOptionsError, match="different solver"):
+            eigensolve_checkpointed(A32, 3, d, carry_layout="chunked",
+                                    **common)
+
+
 class TestConfigFingerprint:
     def test_mismatched_resume_raises_clearly(self, problem, tmp_path):
         from fortran_davidson_tpu.utils.errors import InvalidOptionsError

@@ -11,7 +11,7 @@ upgrades instead:
    construction (``core/loop.py`` GJD branch);
 2. a per-column no-progress cutoff inside MINRES that stops the grind at
    the floating-point attainable floor instead of burning the full
-   iteration cap with a flat residual (``core/krylov.py:_STALL_WINDOW``)
+   iteration cap with a flat residual (``core/krylov.py:_stall_params``)
    — the dominant cost of f32 GJD at scale.
 
 These tests pin that the schedule never changes outer iteration counts
@@ -26,7 +26,7 @@ import pytest
 
 from fortran_davidson_tpu import DavidsonOptions, eigensolve
 from fortran_davidson_tpu.config import InvalidOptionsError
-from fortran_davidson_tpu.core.krylov import _STALL_WINDOW, minres_block
+from fortran_davidson_tpu.core.krylov import _stall_params, minres_block
 from fortran_davidson_tpu.models.generators import generate_diagonal_dominant
 
 
@@ -116,7 +116,7 @@ def test_minres_stall_window_no_false_trigger_f64():
     res = np.linalg.norm(np.asarray(A @ x - b), axis=0)
     bn = np.linalg.norm(np.asarray(b), axis=0)
     assert np.all(res <= 1e-11 * bn)
-    assert _STALL_WINDOW >= 4
+    assert _stall_params(jnp.float64)[0] >= 4
 
 
 def test_inner_iterations_telemetry():
@@ -151,11 +151,11 @@ def test_minres_rate_cutoff_on_slow_progress():
     the 10M f32 scale grinding ~119 of the 128-iteration cap to buy a
     ~30% residual improvement) must be cut well before the cap, while a
     healthy column still converges to its tolerance."""
-    from fortran_davidson_tpu.core.krylov import _STALL_IMPROVEMENT
-    # The bar must demand a real rate (>= ~1%/iter) over a window long
-    # enough that early superlinear lag does not false-trigger.
-    assert _STALL_IMPROVEMENT / _STALL_WINDOW >= 0.01
-    assert _STALL_WINDOW >= 8
+    window32, improvement32 = _stall_params(jnp.float32)
+    # The f32 bar must demand a real rate (>= ~1%/iter) over a window
+    # long enough that early superlinear lag does not false-trigger.
+    assert improvement32 / window32 >= 0.01
+    assert window32 >= 8
 
     n = 400
     # Column 0: well-conditioned SPD system. Column 1: condition ~1e8 in
@@ -175,3 +175,24 @@ def test_minres_rate_cutoff_on_slow_progress():
     # ...and the floor-limited column was cut far below the cap instead
     # of grinding thousands of worthless iterations.
     assert int(iters) < 1024
+
+
+def test_minres_f64_slow_but_real_progress_not_cut():
+    """The sustained-rate bar is f32-gated (advisor r3): an f64 solve
+    making real-but-slow progress (~0.6%/iter on a cond~1e5 operator —
+    far below the f32 bar's ~1.8%/iter) must run to its tight tolerance
+    instead of being frozen at a ~10% improvement. Under the f32
+    parameters this exact solve IS cut (16 iterations buy ~10% < 25%);
+    f64 keeps the fine no-progress detector only."""
+    window64, improvement64 = _stall_params(jnp.float64)
+    assert (window64, improvement64) != _stall_params(jnp.float32)
+    n = 200
+    d = jnp.asarray(np.geomspace(1e-5, 1.0, n))  # cond 1e5, SPD
+    b = jnp.ones((n, 1), jnp.float64)
+    x, iters = minres_block(lambda T: d[:, None] * T, b, maxiter=8000,
+                            rtol=1e-10, return_iters=True)
+    r = float(jnp.linalg.norm(d[:, None] * x - b))
+    assert r <= 1e-9 * float(jnp.linalg.norm(b))
+    # Sanity: this really is a slow solve that a 16-iteration rate bar
+    # would have frozen long before convergence.
+    assert int(iters) > 200
