@@ -7,6 +7,7 @@ corrections, over dense, sparse, or matrix-free operators, single-chip or
 sharded across a TPU mesh.
 """
 
+from fortran_davidson_tpu.batched import eigensolve_batched
 from fortran_davidson_tpu.checkpoint import eigensolve_checkpointed
 from fortran_davidson_tpu.config import DavidsonOptions, DavidsonResult
 from fortran_davidson_tpu.core.loop import (clear_compiled_caches,
@@ -26,7 +27,7 @@ from fortran_davidson_tpu.solver import (eigensolve,
                                          generalized_eigensolver,
                                          polish_eigenpairs)
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "BSROperator",
@@ -42,6 +43,7 @@ __all__ = [
     "as_operator",
     "clear_compiled_caches",
     "eigensolve",
+    "eigensolve_batched",
     "eigensolve_checkpointed",
     "from_element_fn",
     "generalized_eigensolver",

@@ -76,6 +76,17 @@ class DavidsonOptions:
         correction residual and the outer loop stalls (measured at 1M
         rows f32 on TPU: "none" stalls at 40 iterations while "dpr"
         converges in 2 and "olsen" in 3 at ~15 ms/iter).
+      gjd_warm_start: recycle each outer iteration's raw GJD correction
+        block as the next iteration's inner-solve initial guess (solve
+        ``op δ = rhs - op(t_prev)``, ``t = t_prev + δ``, stopped at the
+        ORIGINAL system's absolute target). Complements — and when a
+        previous correction exists, takes precedence over — the Olsen
+        warm start of ``gjd_preconditioner="olsen"``. The same overshoot
+        guard scales a stale guess back toward a cold start, so the
+        outer trajectory is preserved up to inner-tolerance-level
+        roundoff; costs one extra block operator application per outer
+        iteration (the residual of the guess) plus an (n, k)-block
+        carry. Off by default (exact reference-schedule parity).
       n_reorth: CGS passes when orthogonalizing new blocks (2 = CGS2).
       relative_tolerance: if True, pair j converges when
         ``||r_j|| < tolerance * max(|lambda_j|, 1)`` instead of the
@@ -177,6 +188,7 @@ class DavidsonOptions:
     gjd_inner_tol: float = 1e-12
     gjd_inner_schedule: str = "adaptive"
     gjd_preconditioner: str = "none"
+    gjd_warm_start: bool = False
     n_reorth: int = 2
     relative_tolerance: bool = False
     orthonormalization: str = "cholqr2"
@@ -254,6 +266,7 @@ class ResolvedConfig:
     gjd_inner_tol: float
     gjd_schedule: str
     gjd_precond: str
+    gjd_warm: bool
     n_reorth: int
     relative: bool
     ortho: str
@@ -399,6 +412,7 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
         gjd_inner_tol=float(opts.gjd_inner_tol),
         gjd_schedule=str(opts.gjd_inner_schedule),
         gjd_precond=str(opts.gjd_preconditioner),
+        gjd_warm=bool(opts.gjd_warm_start),
         n_reorth=int(opts.n_reorth),
         relative=bool(opts.relative_tolerance),
         ortho=str(opts.orthonormalization),

@@ -95,7 +95,8 @@ def _pseudo_projector(X):
 def gjd_correction(apply_a: Callable, apply_b: Optional[Callable], lam, X, R,
                    mask, inner_iters: int, inner_tol: float,
                    diag_a=None, diag_b=None, olsen_start: bool = False,
-                   scale: bool = True, return_inner_iters: bool = False):
+                   scale: bool = True, return_inner_iters: bool = False,
+                   warm_t=None):
     """GJD correction via batched matrix-free MINRES.
 
     When the operator diagonals are supplied, the per-pair correction
@@ -121,6 +122,11 @@ def gjd_correction(apply_a: Callable, apply_b: Optional[Callable], lam, X, R,
         schedule passes outer-residual-linked tolerances).
       diag_a / diag_b: operator diagonals enabling the DPR scaling
         (``diag_b`` None means B = I for the scaling).
+      warm_t: optional (n, m_max) previous-outer-iteration correction
+        block recycled as the inner solve's initial guess
+        (``DavidsonOptions.gjd_warm_start``). Projected ⊥ the current
+        Ritz vectors, overshoot-guarded like the Olsen start, and —
+        where a nonzero previous correction exists — preferred over it.
 
     The correction solve always runs under f32 matmul precision: TPU's
     default bf16 operand demotion corrupts the MINRES three-term
@@ -136,12 +142,12 @@ def gjd_correction(apply_a: Callable, apply_b: Optional[Callable], lam, X, R,
     with jax.default_matmul_precision("float32"):
         return _gjd_correction_impl(
             apply_a, apply_b, lam, X, R, mask, inner_iters, inner_tol,
-            diag_a, diag_b, olsen_start, scale, return_inner_iters)
+            diag_a, diag_b, olsen_start, scale, return_inner_iters, warm_t)
 
 
 def _gjd_correction_impl(apply_a, apply_b, lam, X, R, mask, inner_iters,
                          inner_tol, diag_a, diag_b, olsen_start, scale,
-                         return_inner_iters):
+                         return_inner_iters, warm_t=None):
     proj = _pseudo_projector(X)
 
     def shifted(T):
@@ -170,12 +176,28 @@ def _gjd_correction_impl(apply_a, apply_b, lam, X, R, mask, inner_iters,
         # iterations.
         db0 = jnp.ones_like(diag_a) if diag_b is None else diag_b
         t0 = proj(olsen_correction(R, lam, X, diag_a, db0, mask))
+    if warm_t is not None:
+        # Cross-outer-iteration recycling: the previous raw correction,
+        # re-projected ⊥ the CURRENT Ritz vectors (they rotated since).
+        # Columns with no history (first iteration, or a pair whose
+        # correction column was inactive) keep the Olsen start / cold
+        # start; nonzero history wins — it solves the nearby previous
+        # system exactly, which is a strictly better model of this one
+        # than the diagonal surrogate.
+        tw = proj(warm_t * mask[None, :])
+        if t0 is None:
+            t0 = tw
+        else:
+            has_w = jnp.linalg.norm(tw, axis=0) > 0
+            t0 = jnp.where(has_w[None, :], tw, t0)
+    if t0 is not None:
         # Overshoot guard: near a λ == diag collision the floored K makes
-        # t0 huge, and at working precision the remainder rhs - op(t0)
-        # then carries catastrophic cancellation noise that the inner
-        # solve faithfully turns into junk corrections (measured
-        # divergence at 1M rows f32). Columns whose op(t0) dwarfs the rhs
-        # are scaled back toward a cold start — graceful degradation.
+        # t0 huge (and a stale recycled correction can point anywhere),
+        # and at working precision the remainder rhs - op(t0) then
+        # carries catastrophic cancellation noise that the inner solve
+        # faithfully turns into junk corrections (measured divergence at
+        # 1M rows f32). Columns whose op(t0) dwarfs the rhs are scaled
+        # back toward a cold start — graceful degradation.
         opt0 = op(t0)
         nr = jnp.linalg.norm(rhs, axis=0)
         no = jnp.linalg.norm(opt0, axis=0)

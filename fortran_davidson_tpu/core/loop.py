@@ -142,6 +142,11 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
         # reference has no analogue: its DSYSV factorizes exactly,
         # ``src/davidson.f90:719-732``).
         state["inner_ops"] = jnp.asarray(0, jnp.int32)
+        if cfg.gjd_warm:
+            # Previous raw correction block, recycled as the next inner
+            # solve's initial guess (gjd_warm_start). Zero = cold start.
+            kk0 = k if cfg.expansion == "lowest-k" else m_max
+            state["corr_prev"] = jnp.zeros((n, kk0), dt)
     if cfg.refined:
         # Residual-plateau tracking (precise path only): at scale the
         # f32-stored basis floors the attainable in-loop residual
@@ -373,7 +378,18 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         op_cols = st["op_cols"]
 
         gjd = cfg.method == "GJD"
+        warm = gjd and cfg.gjd_warm
         inner_ops = st["inner_ops"] if gjd else None
+        corr_prev = st["corr_prev"] if warm else None
+
+        def _tail(out, inner, corr):
+            # GJD carries (inner_ops[, corr_prev]) behind the common
+            # tuple; every cond branch must produce the same pytree.
+            if gjd:
+                out = out + (inner,)
+            if warm:
+                out = out + (corr,)
+            return out
 
         def no_update(_):
             # hoist implies not gen; the hoisted block ran (and is
@@ -381,7 +397,7 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             opc0 = op_cols + hoist_applied if hoist else op_cols
             out = ((V, AV, m, col_ok, opc0) if not gen
                    else (V, AV, BV, m, col_ok, opc0))
-            return out + (inner_ops,) if gjd else out
+            return _tail(out, inner_ops, corr_prev)
 
         def new_block():
             # The correction block has kk columns (k for lowest-k,
@@ -441,14 +457,19 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                     diag_b=diag_b if (precond and gen) else None,
                     olsen_start=cfg.gjd_precond == "olsen",
                     scale=cfg.gjd_precond == "dpr",
-                    return_inner_iters=True)
+                    return_inner_iters=True,
+                    warm_t=corr_prev)
                 it_inner = it_in.astype(jnp.int32)
+            # The RAW (pre-orthonormalization) correction is what the
+            # warm start recycles: orthonormalized columns lose the
+            # magnitude/shape information the next inner solve reuses.
+            corr_raw = corr if warm else None
             Q, alive_q = orthogonal.orthonormalize_block(
                 V, corr, corr_mask, n_reorth=cfg.n_reorth, method=cfg.ortho,
                 precise=precise)
             AQ = A.matmat(Q)
             return Q, AQ, alive_q, (it_inner if cfg.method == "GJD"
-                                    else jnp.zeros((), jnp.int32))
+                                    else jnp.zeros((), jnp.int32)), corr_raw
 
         # Hoist the new-block computation OUT of the expand cond branch
         # for the refined standard path with cheap (non-Krylov)
@@ -473,9 +494,9 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
 
         def expand(_):
             if hoist:
-                Q, AQ, alive_q, it_inner = hoisted
+                Q, AQ, alive_q, it_inner, corr_raw = hoisted
             else:
-                Q, AQ, alive_q, it_inner = new_block()
+                Q, AQ, alive_q, it_inner, corr_raw = new_block()
             # Columns A.matmat actually ran on (pre-RQ-gate): the honest
             # operator_columns charge for every precise path, hoisted or
             # not. Non-precise paths have no gate, so this equals the
@@ -540,7 +561,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 out = (V2, AV2, BV2, m2, ok2, charged)
             else:
                 out = (V2, AV2, m2, ok2, charged)
-            return out + (inner_ops + it_inner,) if gjd else out
+            return _tail(out, inner_ops + it_inner if gjd else None,
+                         corr_raw)
 
         def collapse(_):
             # NOTE: recompute V@W2 / AV@W2 rather than slicing the Ritz
@@ -591,13 +613,17 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 out = (Vn, AVn, BVn, mn, okn, opc)
             else:
                 out = (Vn, AVn, mn, okn, opc)
-            return out + (inner_ops,) if gjd else out
+            # A collapse rotates the Ritz frame but keeps the SAME
+            # lowest pairs; the previous correction stays a valid guess.
+            return _tail(out, inner_ops, corr_prev)
 
         def step(_):
             # Expansion iff current dim <= max_dim (``src/davidson.f90:195``).
             return jax.lax.cond(m <= cfg.max_dim, expand, collapse, None)
 
         new = jax.lax.cond(all_conv, no_update, step, None)
+        if warm:
+            new, corr_new = new[:-1], new[-1]
         if gjd:
             new, inner_new = new[:-1], new[-1]
         if gen:
@@ -624,6 +650,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
         )
         if gjd:
             out["inner_ops"] = inner_new
+        if warm:
+            out["corr_prev"] = corr_new
         if precise:
             # Plateau detection (see init_state): converged pairs are
             # excluded via has_conv so sticky semantics still win. A

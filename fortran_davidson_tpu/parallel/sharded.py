@@ -45,7 +45,7 @@ from fortran_davidson_tpu.parallel.mesh import ROWS_AXIS, row_sharding
 from fortran_davidson_tpu.utils.dtypes import canonical_dtype
 from fortran_davidson_tpu.utils.errors import OperatorError, require
 
-_SHARDED_STATE_KEYS = ("V", "AV", "BV", "evecs")
+_SHARDED_STATE_KEYS = ("V", "AV", "BV", "evecs", "corr_prev")
 
 
 @dataclasses.dataclass(frozen=True)

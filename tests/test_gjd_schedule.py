@@ -177,6 +177,42 @@ def test_minres_rate_cutoff_on_slow_progress():
     assert int(iters) < 1024
 
 
+def test_gjd_warm_start_cuts_inner_work_same_outer_trajectory():
+    """gjd_warm_start recycles the previous outer iteration's correction
+    as the inner solve's initial guess: cumulative inner MINRES work (the
+    GJD-at-scale cost) drops while the outer trajectory — iteration
+    count, eigenvalues, converged residuals — is preserved (the guess is
+    solved to the same absolute target)."""
+    from fortran_davidson_tpu.models.generators import surrogate_hamiltonian
+    op = surrogate_hamiltonian(20096, dtype=jnp.float32)
+    common = dict(method="GJD", tolerance=1e-8, relative_tolerance=True,
+                  dtype="float32", refined=True, final_polish=2,
+                  gjd_preconditioner="dpr", expansion="lowest-k",
+                  max_iterations=40)
+    cold = eigensolve(op, 3, gjd_warm_start=False, **common)
+    warm = eigensolve(op, 3, gjd_warm_start=True, **common)
+    assert bool(cold.converged) and bool(warm.converged)
+    assert int(warm.iterations) == int(cold.iterations)
+    assert int(warm.inner_iterations) < int(cold.inner_iterations)
+    np.testing.assert_allclose(np.asarray(warm.eigenvalues),
+                               np.asarray(cold.eigenvalues),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_gjd_warm_start_parity_pins_hold():
+    """With warm start ON, small f64 parity problems keep their exact
+    outer iteration counts (the recycled guess changes only how the
+    inner solve reaches the same tolerance)."""
+    A = generate_diagonal_dominant(50, 1e-3, key=jax.random.PRNGKey(53))
+    base = eigensolve(A, 3, method="GJD", tolerance=1e-8, max_dim_sub=10,
+                      max_iterations=100)
+    warm = eigensolve(A, 3, method="GJD", tolerance=1e-8, max_dim_sub=10,
+                      max_iterations=100, gjd_warm_start=True)
+    assert int(warm.iterations) == int(base.iterations)
+    np.testing.assert_allclose(np.asarray(warm.eigenvalues),
+                               np.asarray(base.eigenvalues), atol=1e-10)
+
+
 def test_minres_f64_slow_but_real_progress_not_cut():
     """The sustained-rate bar is f32-gated (advisor r3): an f64 solve
     making real-but-slow progress (~0.6%/iter on a cond~1e5 operator —

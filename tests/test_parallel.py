@@ -70,6 +70,22 @@ class TestShardedDense:
         np.testing.assert_allclose(np.asarray(res.eigenvalues),
                                    np.asarray(ref.eigenvalues), atol=1e-9)
 
+    def test_gjd_warm_start_sharded(self, mesh):
+        """The warm-start carry (corr_prev) is a tall (n, k) state array;
+        it must ride the row-sharding constraint and leave the sharded
+        trajectory matching the single-device one."""
+        n, k = 64, 3
+        A = generate_diagonal_dominant(n, 1e-3)
+        ref = fdt.eigensolve(A, k, method="GJD", tolerance=1e-8,
+                             gjd_warm_start=True)
+        res = eigensolve_sharded(A, k, mesh, method="GJD", tolerance=1e-8,
+                                 gjd_warm_start=True)
+        res.block_until_ready()
+        assert bool(res.converged)
+        assert int(res.iterations) == int(ref.iterations)
+        np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                                   np.asarray(ref.eigenvalues), atol=1e-9)
+
 
 class TestShardedSparse:
     def test_ell_sharded(self, mesh):
