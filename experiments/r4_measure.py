@@ -60,13 +60,48 @@ def measure_gjd_warm(n: int):
     return out
 
 
+def measure_pad(n: int):
+    """Does an 8-aligned padded width m_max remove the chunked batched-
+    gram dot's tiling relayout (profiled ~11.3 ms/iter at 10M: a 44->48
+    sublane PAD + m-split interleave COPY of the 1.9 GB carry)?
+
+    lowest=4 with the default max_dim=40 gives m_max=44; max_dim_sub=44
+    gives m_max=48 (one extra expansion step per cycle — compare
+    ms/iter, not wall)."""
+    from fortran_davidson_tpu import eigensolve
+    from fortran_davidson_tpu.models.generators import surrogate_hamiltonian
+
+    op = surrogate_hamiltonian(n, dtype=jnp.float32)
+    kw = dict(method="DPR", tolerance=1e-8, relative_tolerance=True,
+              dtype="float32", refined=True, final_polish=3,
+              expansion="lowest-k", max_iterations=60,
+              carry_layout="chunked")
+    out = {"probe": "mmax_pad", "n": n}
+    for label, md in (("m44", 40), ("m48", 44)):
+        r = eigensolve(op, 4, max_dim_sub=md, **kw)
+        info = _finish(r)
+        t0 = time.perf_counter()
+        r = eigensolve(op, 4, max_dim_sub=md, **kw)
+        info = _finish(r)
+        dt = time.perf_counter() - t0
+        info["wall_s"] = dt
+        info["ms_per_iter"] = dt / max(info["iterations"], 1) * 1e3
+        out[label] = info
+    out["ms_per_iter_ratio"] = (out["m44"]["ms_per_iter"]
+                                / out["m48"]["ms_per_iter"])
+    print(json.dumps(out))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("probe", choices=["gjd_warm", "all"])
+    ap.add_argument("probe", choices=["gjd_warm", "pad", "all"])
     ap.add_argument("--n", type=int, default=10_000_384)
     args = ap.parse_args()
     if args.probe in ("gjd_warm", "all"):
         measure_gjd_warm(args.n)
+    if args.probe in ("pad", "all"):
+        measure_pad(args.n)
 
 
 if __name__ == "__main__":
