@@ -500,6 +500,45 @@ def bench_davidson_solve():
     return out
 
 
+def bench_batched():
+    """Batched multi-problem throughput (`eigensolve_batched`): one
+    vmapped program vs per-problem dispatches — the TPU-native answer to
+    screening workloads (the reference runs one pencil per program)."""
+    import numpy as np
+
+    from fortran_davidson_tpu import eigensolve, eigensolve_batched
+
+    on_tpu = jax.default_backend() == "tpu"
+    b, n, k = (64, 512, 4) if on_tpu else (8, 96, 2)
+    rng = np.random.default_rng(0)
+    d = np.arange(1, n + 1, dtype=np.float32)
+    off = np.triu((rng.random((n, n), dtype=np.float32) - 0.5) * 2e-3, 1)
+    base = off + off.T
+    shifts = 1.0 + 0.05 * np.arange(b, dtype=np.float32)
+    mats = shifts[:, None, None] * np.diag(d)[None] + base[None]
+    kw = dict(tolerance=1e-4, dtype="float32", max_iterations=60)
+
+    out = dict(b=b, n=n, k=k)
+    r = eigensolve_batched(mats, k, **kw)
+    r.block_until_ready()
+    t0 = time.perf_counter()
+    r = eigensolve_batched(mats, k, **kw)
+    r.block_until_ready()
+    out["batched_s"] = time.perf_counter() - t0
+    out["all_converged"] = bool(jnp.all(r.converged))
+    out["problems_per_s"] = b / out["batched_s"]
+
+    r1 = eigensolve(mats[0], k, **kw)
+    r1.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(b):
+        ri = eigensolve(mats[i], k, **kw)
+    ri.block_until_ready()
+    out["sequential_s"] = time.perf_counter() - t0
+    out["speedup"] = out["sequential_s"] / out["batched_s"]
+    return out
+
+
 def _probe_backend(timeout_s: float):
     """Backend init behind a watchdog: through the axon tunnel a dead
     relay makes ``jax.devices()`` retry-hang for tens of minutes before
@@ -573,10 +612,18 @@ def main():
             remainder = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
     else:
         remainder = {"skipped": "bench deadline passed"}
+    if time.monotonic() < deadline:
+        try:
+            batched = bench_batched()
+        except Exception as e:  # noqa: BLE001
+            batched = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+    else:
+        batched = {"skipped": "bench deadline passed"}
 
     details = {
         "davidson_1M_matrix_free": solve,
         "remainder_path": remainder,
+        "batched": batched,
         "device": info,
         "backend": jax.default_backend(),
     }

@@ -41,30 +41,59 @@ from fortran_davidson_tpu.ops.sparse import (
     generate_banded_bsr, quantize_banded_int8)
 
 
+def _spmm_row(blocks_ref, srow_ref, diag_ref, xbuf, i, slot, *, K, bw,
+              dequant):
+    """The SpMM part of one block row under the selected dequant scheme.
+
+    f32     — the shipped scheme: int8 -> f32 cast * f32 scale, then a
+              mixed f32 x bf16 MXU dot (multiple passes).
+    bf16    — dequantize to bf16 (scale multiply rounds the blocks to
+              bf16), single-pass bf16 MXU dot.
+    slotdot — exact int8 -> bf16 cast (integers <= 127 are exact in
+              bf16), K per-slot single-pass bf16 dots, and the f32
+              per-slot scale applied to the f32 PARTIALS — full scale
+              precision with 1-pass MXU work.
+    """
+    bs = blocks_ref.shape[1]
+    if dequant == "slotdot":
+        qb = blocks_ref[i].astype(jnp.bfloat16)
+        acc = None
+        for k in range(K):
+            part = jnp.dot(qb[:, k * bs:(k + 1) * bs],
+                           xbuf[slot, (i + k) * bs:(i + k + 1) * bs, :],
+                           preferred_element_type=jnp.float32)
+            term = part * srow_ref[i][k * bs]
+            acc = term if acc is None else acc + term
+    elif dequant == "bf16":
+        w = (blocks_ref[i].astype(jnp.bfloat16)
+             * srow_ref[i][None, :].astype(jnp.bfloat16))
+        acc = jnp.dot(w, xbuf[slot, i * bs:(i + K) * bs, :],
+                      preferred_element_type=jnp.float32)
+    else:
+        w = blocks_ref[i].astype(jnp.float32) * srow_ref[i][None, :]
+        acc = jnp.dot(w, xbuf[slot, i * bs:(i + K) * bs, :],
+                      preferred_element_type=jnp.float32)
+    ctr = xbuf[slot, (i + bw) * bs:(i + bw + 1) * bs, :]
+    return acc + diag_ref[i][:, None] * ctr.astype(jnp.float32)
+
+
 def _q_nowrite_kernel(blocks_ref, srow_ref, diag_ref, v_ref, x_hbm,
                       g_ref, xbuf, sem, *maybe_ybuf, K, bw, W, nbr, R, NB,
                       mode):
     bs = blocks_ref.shape[1]
     ybuf = maybe_ybuf[0] if maybe_ybuf else None
+    dequant = {"bf16deq": "bf16", "tg_bf16deq": "bf16",
+               "tg_slotdot": "slotdot"}.get(mode, "f32")
 
     def compute_row(i, slot):
-        if mode == "bf16deq":
-            w = (blocks_ref[i].astype(jnp.bfloat16)
-                 * srow_ref[i][None, :].astype(jnp.bfloat16))
-            acc = jnp.dot(w, xbuf[slot, i * bs:(i + K) * bs, :],
-                          preferred_element_type=jnp.float32)
-        else:
-            w = blocks_ref[i].astype(jnp.float32) * srow_ref[i][None, :]
-            acc = jnp.dot(w, xbuf[slot, i * bs:(i + K) * bs, :],
-                          preferred_element_type=jnp.float32)
-        ctr = xbuf[slot, (i + bw) * bs:(i + bw + 1) * bs, :]
-        y_i = acc + diag_ref[i][:, None] * ctr.astype(jnp.float32)
+        y_i = _spmm_row(blocks_ref, srow_ref, diag_ref, xbuf, i, slot,
+                        K=K, bw=bw, dequant=dequant)
         if mode in ("rowgram", "bf16deq"):
             g_ref[:] += jax.lax.dot_general(
                 v_ref[pl.ds(i * bs, bs), :], y_i.astype(v_ref.dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        elif mode == "tilegram":
+        elif mode in ("tilegram", "tg_bf16deq", "tg_slotdot"):
             ybuf[pl.ds(i * bs, bs), :] = y_i.astype(ybuf.dtype)
         elif mode == "nogram":
             g_ref[0:1, :] += jnp.sum(y_i, axis=0, keepdims=True)
@@ -76,7 +105,7 @@ def _q_nowrite_kernel(blocks_ref, srow_ref, diag_ref, v_ref, x_hbm,
     _banded_sweep(x_hbm, xbuf, sem, bs=bs, bw=bw, W=W, nbr=nbr, R=R,
                   NB=NB, compute_row=compute_row, out=None,
                   on_first_tile=init_gram)
-    if mode == "tilegram":
+    if mode in ("tilegram", "tg_bf16deq", "tg_slotdot"):
         g_ref[:] += jax.lax.dot_general(
             v_ref[:], ybuf[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -84,15 +113,12 @@ def _q_nowrite_kernel(blocks_ref, srow_ref, diag_ref, v_ref, x_hbm,
 
 
 def _q_nov_kernel(blocks_ref, srow_ref, diag_ref, x_hbm, g_ref, xbuf, sem,
-                  *, K, bw, W, nbr, R, NB):
+                  *, K, bw, W, nbr, R, NB, dequant="f32"):
     bs = blocks_ref.shape[1]
 
     def compute_row(i, slot):
-        w = blocks_ref[i].astype(jnp.float32) * srow_ref[i][None, :]
-        acc = jnp.dot(w, xbuf[slot, i * bs:(i + K) * bs, :],
-                      preferred_element_type=jnp.float32)
-        ctr = xbuf[slot, (i + bw) * bs:(i + bw + 1) * bs, :]
-        y_i = acc + diag_ref[i][:, None] * ctr.astype(jnp.float32)
+        y_i = _spmm_row(blocks_ref, srow_ref, diag_ref, xbuf, i, slot,
+                        K=K, bw=bw, dequant=dequant)
         g_ref[0:1, :] += jnp.sum(y_i, axis=0, keepdims=True)
         return y_i
 
@@ -111,7 +137,7 @@ def build(mode, qop, m, NB_override=None):
     bw = (K - 1) // 2
     mp = mvp = m
     b_item = 1 + 4 / bs + 4 / (K * bs)
-    v_item = 0 if mode == "nov" else 2
+    v_item = 0 if mode.startswith("nov") else 2
     plan = _gram_plan(nbr, bs, K, bw, m, m, 2, b_item, 0, v_item)
     assert plan is not None
     R, NB, W = plan
@@ -132,9 +158,11 @@ def build(mode, qop, m, NB_override=None):
     # NOTE: the operator arrays must be jit ARGUMENTS, never captured
     # constants — the tunnel's remote-compile RPC rejects large bodies
     # (HTTP 413), see CLAUDE.md.
-    if mode == "nov":
-        kern = functools.partial(_q_nov_kernel, K=K, bw=bw, W=W, nbr=nbr,
-                                 R=R, NB=NB)
+    if mode.startswith("nov"):
+        kern = functools.partial(
+            _q_nov_kernel, K=K, bw=bw, W=W, nbr=nbr, R=R, NB=NB,
+            dequant={"nov_bf16": "bf16", "nov_slotdot": "slotdot"}
+            .get(mode, "f32"))
         in_specs = base_specs + [pl.BlockSpec(memory_space=pl.ANY)]
 
         @jax.jit
@@ -155,7 +183,7 @@ def build(mode, qop, m, NB_override=None):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
-    if mode == "tilegram":
+    if mode in ("tilegram", "tg_bf16deq", "tg_slotdot"):
         scratch = scratch + [pltpu.VMEM((R * bs, mp), jnp.bfloat16)]
 
     @jax.jit
@@ -194,10 +222,12 @@ def main():
 
     qb, sr, dg = qop.qblocks, qop.scale_rows, qop.diag
     out = {"nbr": nbr, "m": m, "nnz": nnz}
-    for mode in ("rowgram", "tilegram", "nogram", "nov", "bf16deq"):
+    modes = ("rowgram", "tilegram", "nogram", "nov", "bf16deq",
+             "tg_bf16deq", "tg_slotdot", "nov_bf16", "nov_slotdot")
+    for mode in modes:
         try:
             run, plan = build(mode, qop, m, NB_override=nb)
-            if mode == "nov":
+            if mode.startswith("nov"):
                 def chain(qb, sr, dg, y):
                     def body(_, y):
                         g = run(qb, sr, dg, y)
@@ -226,7 +256,7 @@ def main():
                      + qop.diag.size * 4)
             R, NB, W = plan
             reads += (nbr // R) * W * bs * m * 2
-            if mode != "nov":
+            if not mode.startswith("nov"):
                 reads += n * m * 2
             out[mode] = {"time_s": dt, "plan_RNBW": list(plan),
                          "read_GBps": reads / dt / 1e9,

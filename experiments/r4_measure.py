@@ -93,15 +93,57 @@ def measure_pad(n: int):
     return out
 
 
+def measure_batched(b: int = 128, n: int = 1024, k: int = 4):
+    """Batched multi-problem throughput: one vmapped program vs a
+    sequential per-problem loop (both on device, both warm). The batch
+    fills the MXU that a single small solve leaves idle."""
+    import numpy as np
+
+    from fortran_davidson_tpu import eigensolve, eigensolve_batched
+
+    rng = np.random.default_rng(0)
+    d = np.arange(1, n + 1, dtype=np.float32)
+    off = (rng.random((n, n), dtype=np.float32) - 0.5) * 2e-3
+    base = np.triu(off, 1)
+    base = base + base.T
+    shifts = 1.0 + 0.05 * np.arange(b, dtype=np.float32)
+    mats = shifts[:, None, None] * np.diag(d)[None] + base[None]
+    kw = dict(tolerance=1e-4, dtype="float32", max_iterations=60)
+
+    out = {"probe": "batched", "b": b, "n": n, "k": k}
+    r = eigensolve_batched(mats, k, **kw)
+    r.block_until_ready()
+    t0 = time.perf_counter()
+    r = eigensolve_batched(mats, k, **kw)
+    r.block_until_ready()
+    out["batched_s"] = time.perf_counter() - t0
+    out["batched_all_converged"] = bool(jnp.all(r.converged))
+
+    # Sequential loop over the same problems (one compile, b dispatches).
+    r1 = eigensolve(mats[0], k, **kw)
+    r1.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(b):
+        ri = eigensolve(mats[i], k, **kw)
+    ri.block_until_ready()
+    out["sequential_s"] = time.perf_counter() - t0
+    out["speedup"] = out["sequential_s"] / out["batched_s"]
+    out["problems_per_s_batched"] = b / out["batched_s"]
+    print(json.dumps(out))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("probe", choices=["gjd_warm", "pad", "all"])
+    ap.add_argument("probe", choices=["gjd_warm", "pad", "batched", "all"])
     ap.add_argument("--n", type=int, default=10_000_384)
     args = ap.parse_args()
     if args.probe in ("gjd_warm", "all"):
         measure_gjd_warm(args.n)
     if args.probe in ("pad", "all"):
         measure_pad(args.n)
+    if args.probe in ("batched", "all"):
+        measure_batched()
 
 
 if __name__ == "__main__":

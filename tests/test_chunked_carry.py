@@ -69,6 +69,18 @@ class TestBitIdentity:
             refined=True, max_iterations=40)
         _assert_bit_identical(flat, chunked)
 
+    def test_gjd_warm_start_refined(self):
+        """The warm-start carry (corr_prev, flat (n, kk)) threads through
+        the chunked engine's cond branches; trajectories stay
+        bit-identical across layouts."""
+        op = surrogate_hamiltonian(2048, dtype=jnp.float32)
+        flat, chunked = _solve_pair(
+            op, 2, method="GJD", tolerance=1e-5, dtype="float32",
+            refined=True, expansion="lowest-k", max_iterations=40,
+            gjd_preconditioner="dpr", gjd_warm_start=True)
+        _assert_bit_identical(flat, chunked)
+        assert int(flat.inner_iterations) == int(chunked.inner_iterations)
+
     def test_generalized_refined(self):
         A = generate_diagonal_dominant(768, 1e-3, dtype=jnp.float32)
         B = generate_diagonal_dominant(768, 1e-3, diag_val=1.0,
