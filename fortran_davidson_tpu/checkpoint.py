@@ -124,6 +124,27 @@ def restore_state(directory: str, template: dict,
         return ckptr.restore(path, abstract)
 
 
+def _attach_shardings(template: dict, mesh) -> dict:
+    """ShapeDtypeStructs of the state template with explicit NamedShardings
+    on ``mesh``: tall state arrays row-sharded, everything else replicated.
+    Restoring through this template reshards the checkpoint onto the
+    CURRENT topology regardless of the topology that saved it."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fortran_davidson_tpu.parallel.mesh import ROWS_AXIS
+    from fortran_davidson_tpu.parallel.sharded import _SHARDED_STATE_KEYS
+
+    out = {}
+    for key, leaf in template.items():
+        if key in _SHARDED_STATE_KEYS and leaf.ndim >= 1:
+            spec = P(ROWS_AXIS, *([None] * (leaf.ndim - 1)))
+        else:
+            spec = P()
+        out[key] = jax.ShapeDtypeStruct(
+            leaf.shape, leaf.dtype, sharding=NamedSharding(mesh, spec))
+    return out
+
+
 def eigensolve_checkpointed(matrix, lowest: int, directory: str,
                             every: int = 10, second_matrix=None,
                             resume: bool = True, mesh=None,
@@ -184,6 +205,14 @@ def eigensolve_checkpointed(matrix, lowest: int, directory: str,
     init, _ = get_stepper(cfg, constrain)
     if resume and latest_step(directory) is not None:
         template = jax.eval_shape(lambda: init(A, B))
+        if mesh is not None:
+            # Attach the CURRENT mesh's shardings so orbax reshards on
+            # load — a pod resume may run on a different topology than
+            # the one that wrote the checkpoint (fewer/more hosts after
+            # an elastic restart); without explicit shardings orbax
+            # falls back to the sharding file recorded at save time,
+            # which references the OLD device set.
+            template = _attach_shardings(template, mesh)
         state = restore_state(directory, template)
     write_config_fingerprint(directory, cfg, A.shape[0])
 

@@ -210,6 +210,41 @@ class TestAutoLayoutResume:
                                     **common)
 
 
+class TestPodResharding:
+    def test_resume_on_different_mesh_size(self, problem, tmp_path):
+        """Elastic-restart shape: a checkpoint written on an 8-device
+        mesh resumes on a 4-device mesh (the restore template carries
+        the CURRENT mesh's shardings, so orbax reshards on load) and
+        completes with the single-device trajectory."""
+        from fortran_davidson_tpu.parallel import default_mesh
+        A, ref = problem
+
+        class Crash(RuntimeError):
+            pass
+
+        calls = []
+
+        def crash_once(state):
+            calls.append(1)
+            if len(calls) == 1:
+                raise Crash
+
+        with pytest.raises(Crash):
+            eigensolve_checkpointed(A, 3, str(tmp_path), every=2,
+                                    mesh=default_mesh(8),
+                                    callbacks=(crash_once,))
+        assert latest_step(tmp_path) is not None
+        res = eigensolve_checkpointed(A, 3, str(tmp_path), every=2,
+                                      mesh=default_mesh(4))
+        assert bool(res.converged)
+        assert int(res.iterations) == int(ref.iterations)
+        np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                                   np.asarray(ref.eigenvalues), atol=1e-12)
+        # The resumed state rides the NEW mesh: the eigenvector output
+        # is sharded over 4 devices.
+        assert res.eigenvectors.sharding.mesh.size == 4
+
+
 class TestConfigFingerprint:
     def test_mismatched_resume_raises_clearly(self, problem, tmp_path):
         from fortran_davidson_tpu.utils.errors import InvalidOptionsError
