@@ -311,17 +311,19 @@ def bench_bsr_spmm():
         b_item_q = 1 + 4 / bs + 4 / (K * bs)
 
         def fused_reads(out_item):
-            # The fused kernel re-plans with its own VMEM needs (v tile
-            # + gram accumulator) — its (R, W) can differ from the plain
-            # variant's, changing the window-overlap read term.
+            # The fused kernel re-plans with its own VMEM needs (gram
+            # accumulator etc.) — its (R, W) can differ from the plain
+            # variant's, changing the window-overlap read term. The
+            # bench calls use v=None (G = Xᵀ A X), so since round 4
+            # there is NO separate v stream: the gram contracts the
+            # window buffer's center rows and x is read exactly once.
             fplan = _gram_plan(nbr, bs, K, bw, m, m, 2, b_item_q,
-                               out_item, 2)
+                               out_item, 2, True)
             if fplan is None:
                 return None
             Rf, _, Wf = fplan
             return (nnz * 1 + aux_q                     # int8 blocks
-                    + (nbr // Rf) * Wf * bs * m * 2     # x windows (bf16)
-                    + n * m * 2)                        # v stream (bf16)
+                    + (nbr // Rf) * Wf * bs * m * 2)    # x windows (bf16)
 
         fd = dict(timings=fused)
         reads_nw = fused_reads(0)

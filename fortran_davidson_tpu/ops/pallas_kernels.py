@@ -327,7 +327,7 @@ _VMEM_BUDGET = 14 * 2**20  # leave headroom below the ~16 MB/core VMEM
 def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
                  x_item: int, b_item: int, out_item: int,
                  min_tiles: int = 2, gram_vmem: int = 0,
-                 fixed_vmem: int = 0):
+                 fixed_vmem: int = 0, r_tiers: tuple = (16, 8)):
     """Pick (tile rows R, window-ring depth NB) under the VMEM budget.
 
     Larger tiles amortize the 2*bw window-overlap traffic and give the
@@ -339,8 +339,13 @@ def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
     needs (the pipelined v tile, double-buffered). ``fixed_vmem``:
     tile-independent resident bytes (the (mvp, mp) f32 gram accumulator
     the fused kernels keep in VMEM across the whole grid).
+    ``r_tiers``: candidate tile heights, best first — the pure-read
+    fused sweep prefers R=32 (fewer, deeper window DMAs reduce the
+    measured DMA-issue contention between the block pipeline and the
+    window ring; see docs/ROADMAP.md), the write-ring kernels stay at
+    R=16 where the write engine is the binding constraint anyway.
     """
-    for R in (16, 8):
+    for R in r_tiers:
         if nbr % R or nbr < min_tiles * R or bw >= R:
             continue
         for NB in (4, 3, 2):
@@ -355,31 +360,43 @@ def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
     return None
 
 
-def _gram_plan(nbr, bs, K, bw, m, mv, x_item, b_item, out_item, v_item):
+def _gram_plan(nbr, bs, K, bw, m, mv, x_item, b_item, out_item, v_item,
+               v_is_x: bool = False):
     """The fused SpMM+Gram kernels' VMEM plan (None if nothing fits).
 
     Shared by the kernel launchers and the operators' fallback check —
     ``matmat_with_gram`` composes ``matmat`` + einsum instead of raising
     when the fused variant's extra VMEM (v tile + accumulator) does not
     fit shapes the plain SpMM handles fine.
+
+    ``v_is_x``: the Rayleigh-Ritz case ``G = Xᵀ A X`` — the gram
+    operand's rows are exactly the window's center rows, so no v stream
+    (and no v tile VMEM) exists at all; only the staged-row ybuf
+    remains. The freed VMEM admits taller tiles (R=32), which halve the
+    window-DMA issue rate — the measured contention bottleneck of the
+    pure-read sweep.
     """
     mp = max(128, -(-m // 128) * 128)
     mvp = max(128, -(-mv // 128) * 128)
-    # gram_vmem per R-row: the double-buffered pipelined v tile plus the
-    # tile's staged row results (ybuf) for the single per-tile gram dot.
+    # gram_vmem per R-row: the double-buffered pipelined v tile (absent
+    # when v IS x) plus the tile's staged row results (ybuf) for the
+    # single per-tile gram dot.
+    v_tile = 0 if v_is_x else 2 * mvp * v_item
+    ybuf_item = x_item if v_is_x else v_item
+    r_tiers = (32, 16, 8) if (v_is_x and out_item == 0) else (16, 8)
     return _banded_plan(nbr, bs, K, bw, mp, x_item, b_item, out_item,
-                        gram_vmem=(2 * mvp + mp) * bs * v_item,
-                        fixed_vmem=mvp * mp * 4)
+                        gram_vmem=(v_tile + mp * ybuf_item) * bs,
+                        fixed_vmem=mvp * mp * 4, r_tiers=r_tiers)
 
 
 def banded_gram_supported(nbr: int, K: int, bw: int, bs: int, m: int,
                           mv: int, x_item: int, b_item, out_item: int,
-                          v_item: int) -> bool:
+                          v_item: int, v_is_x: bool = False) -> bool:
     """True when the fused banded SpMM+Gram kernel can run: band shape
     supported AND a VMEM plan exists for these operand widths/dtypes."""
     return (banded_pallas_supported(nbr, K, bw)
             and _gram_plan(nbr, bs, K, bw, m, mv, x_item, b_item,
-                           out_item, v_item) is not None)
+                           out_item, v_item, v_is_x) is not None)
 
 
 @functools.partial(jax.jit,
@@ -459,8 +476,9 @@ def banded_bsr_spmm(blocks, x, *, bandwidth: int,
     return out[:, :m] if mp != m else out
 
 
-def _banded_gram_kernel(blocks_ref, v_ref, x_hbm, *rest, K: int, bw: int,
+def _banded_gram_kernel(blocks_ref, *args, K: int, bw: int,
                         W: int, nbr: int, R: int, write_out: bool,
+                        v_is_x: bool = False,
                         NB: int = _N_WINDOW_BUFFERS):
     """Fused producer→consumer sweep: ``Y = A @ X`` and ``G = Vᵀ Y``.
 
@@ -489,7 +507,20 @@ def _banded_gram_kernel(blocks_ref, v_ref, x_hbm, *rest, K: int, bw: int,
     the per-row accumulator read-modify-write serialized against the
     MXU (measured 2.28 -> 1.61 ms on the v5e m=256 no-write sweep —
     within 3% of the gram-free sweep; `experiments/fused_probe.py`).
+
+    ``v_is_x`` (the Rayleigh-Ritz projection ``G = Xᵀ A X``): v's rows
+    for this tile ARE the window buffer's center rows — contract against
+    them directly instead of streaming x from HBM a second time as a
+    separate pipelined operand. One full read of x disappears from the
+    sweep's traffic, and the freed VMEM admits R=32 tiles (fewer, deeper
+    window DMAs — the pure-read sweep's measured bottleneck is DMA-issue
+    contention, not bandwidth).
     """
+    if v_is_x:
+        v_ref, rest = None, args
+    else:
+        v_ref, *rest = args
+    x_hbm, *rest = rest
     if write_out:
         out_hbm, g_ref, xbuf, sem, obuf, osem, ybuf = rest
     else:
@@ -511,8 +542,13 @@ def _banded_gram_kernel(blocks_ref, v_ref, x_hbm, *rest, K: int, bw: int,
                   NB=NB, compute_row=compute_row,
                   out=(out_hbm, obuf, osem) if write_out else None,
                   on_first_tile=init_gram)
+    if v_is_x:
+        slot = pl.program_id(0) % NB
+        vblk = xbuf[slot, bw * bs:(bw + R) * bs, :]
+    else:
+        vblk = v_ref[:]
     g_ref[:] += jax.lax.dot_general(
-        v_ref[:], ybuf[:],
+        vblk, ybuf[:],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(g_ref.dtype)
 
@@ -535,7 +571,9 @@ def banded_bsr_spmm_gram(blocks, x, v=None, *, bandwidth: int,
       blocks: (nbr, bs, K*bs) DIA-aligned row-major block layout.
       x: (nbr * bs, m) — SpMM input block.
       v: (nbr * bs, mv) — gram operand; ``None`` uses ``x`` itself
-        (G = Xᵀ A X, the Rayleigh-Ritz projection of the block).
+        (G = Xᵀ A X, the Rayleigh-Ritz projection of the block) WITHOUT
+        streaming x twice: the gram contracts the window buffer's
+        center rows, so x is read from HBM exactly once.
       write_out: also materialize Y to HBM (the cached-AV engines need
         it); ``False`` returns only G — the pure-read sweep for
         recompute-style consumers.
@@ -556,20 +594,20 @@ def banded_bsr_spmm_gram(blocks, x, v=None, *, bandwidth: int,
             f"nbr % {_TILE_R} == 0 and nbr >= {2 * _TILE_R}; "
             f"got nbr={nbr}, K={K}, bw={bw}")
     n_in, m = x.shape
-    if v is None:
-        v = x
-    mv = v.shape[1]
+    v_is_x = v is None
+    mv = m if v_is_x else v.shape[1]
     mp = max(128, -(-m // 128) * 128)
     if mp != m:
         x = jnp.pad(x, ((0, 0), (0, mp - m)))
     mvp = max(128, -(-mv // 128) * 128)
-    if mvp != mv:
+    if not v_is_x and mvp != mv:
         v = jnp.pad(v, ((0, 0), (0, mvp - mv)))
 
     out_item = out_dtype.itemsize if write_out else 0
     plan = _gram_plan(nbr, bs, K, bw, m, mv, x.dtype.itemsize,
                       blocks.dtype.itemsize, out_item,
-                      v.dtype.itemsize)
+                      x.dtype.itemsize if v_is_x else v.dtype.itemsize,
+                      v_is_x)
     if plan is None:
         raise ValueError(
             f"banded_bsr_spmm_gram: no (tile, ring) plan fits VMEM for "
@@ -577,15 +615,18 @@ def banded_bsr_spmm_gram(blocks, x, v=None, *, bandwidth: int,
     R, NB, W = plan
 
     kernel = functools.partial(_banded_gram_kernel, K=K, bw=bw, W=W,
-                               nbr=nbr, R=R, NB=NB, write_out=write_out)
+                               nbr=nbr, R=R, NB=NB, write_out=write_out,
+                               v_is_x=v_is_x)
     g_shape = jax.ShapeDtypeStruct((mvp, mp), jnp.float32)
     in_specs = [
         pl.BlockSpec((R, bs, K * bs), lambda r: (r, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((R * bs, mvp), lambda r: (r, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pl.ANY),
     ]
+    if not v_is_x:
+        in_specs.append(pl.BlockSpec((R * bs, mvp), lambda r: (r, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    operands = (blocks, x) if v_is_x else (blocks, v, x)
     g_spec = pl.BlockSpec((mvp, mp), lambda r: (0, 0),
                           memory_space=pltpu.VMEM)
     scratch = [
@@ -594,9 +635,11 @@ def banded_bsr_spmm_gram(blocks, x, v=None, *, bandwidth: int,
     ]
     read_bytes = (blocks.size * blocks.dtype.itemsize
                   + (nbr // R) * W * bs * mp * x.dtype.itemsize
-                  + nbr * bs * mvp * v.dtype.itemsize)
+                  + (0 if v_is_x
+                     else nbr * bs * mvp * v.dtype.itemsize))
     gram_flops = 2 * nbr * bs * mvp * mp
-    ybuf = pltpu.VMEM((R * bs, mp), v.dtype)  # staged tile rows (gram)
+    ybuf = pltpu.VMEM((R * bs, mp),
+                      x.dtype if v_is_x else v.dtype)  # staged tile rows
     if write_out:
         out = pl.pallas_call(
             kernel,
@@ -619,7 +662,7 @@ def banded_bsr_spmm_gram(blocks, x, v=None, *, bandwidth: int,
                                 + mvp * mp * 4),
                 transcendentals=0,
             ),
-        )(blocks, v, x)
+        )(*operands)
         y, g = out
         y = y.reshape(nbr * bs, mp)
         return (y[:, :m] if mp != m else y), g[:mv, :m]
@@ -637,7 +680,7 @@ def banded_bsr_spmm_gram(blocks, x, v=None, *, bandwidth: int,
             bytes_accessed=read_bytes + mvp * mp * 4,
             transcendentals=0,
         ),
-    )(blocks, v, x)
+    )(*operands)
     return g[:mv, :m]
 
 
@@ -754,15 +797,22 @@ def banded_q_bsr_spmm(qblocks, scale_rows, diag, x, *, bandwidth: int,
     return out[:, :m] if mp != m else out
 
 
-def _banded_q_gram_kernel(blocks_ref, srow_ref, diag_ref, v_ref, x_hbm,
-                          *rest, K: int, bw: int, W: int, nbr: int, R: int,
-                          write_out: bool, NB: int = _N_WINDOW_BUFFERS):
+def _banded_q_gram_kernel(blocks_ref, srow_ref, diag_ref, *args,
+                          K: int, bw: int, W: int, nbr: int, R: int,
+                          write_out: bool, v_is_x: bool = False,
+                          NB: int = _N_WINDOW_BUFFERS):
     """int8-quantized fused SpMM + Gram (see :func:`_banded_gram_kernel`
-    for the fusion rationale and :func:`_banded_q_kernel` for the
-    quantization scheme — and the former's tile-staged single gram dot,
-    which replaced the per-row accumulator read-modify-writes). With
-    int8 blocks the plain kernel's HBM write of Y is an even larger
-    FRACTION of total traffic, so consuming Y in VMEM matters more."""
+    for the fusion rationale — including the ``v_is_x`` window-center
+    gram — and :func:`_banded_q_kernel` for the quantization scheme, and
+    the former's tile-staged single gram dot, which replaced the per-row
+    accumulator read-modify-writes). With int8 blocks the plain kernel's
+    HBM write of Y is an even larger FRACTION of total traffic, so
+    consuming Y in VMEM matters more."""
+    if v_is_x:
+        v_ref, rest = None, args
+    else:
+        v_ref, *rest = args
+    x_hbm, *rest = rest
     if write_out:
         out_hbm, g_ref, xbuf, sem, obuf, osem, ybuf = rest
     else:
@@ -786,8 +836,13 @@ def _banded_q_gram_kernel(blocks_ref, srow_ref, diag_ref, v_ref, x_hbm,
                   NB=NB, compute_row=compute_row,
                   out=(out_hbm, obuf, osem) if write_out else None,
                   on_first_tile=init_gram)
+    if v_is_x:
+        slot = pl.program_id(0) % NB
+        vblk = xbuf[slot, bw * bs:(bw + R) * bs, :]
+    else:
+        vblk = v_ref[:]
     g_ref[:] += jax.lax.dot_general(
-        v_ref[:], ybuf[:],
+        vblk, ybuf[:],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(g_ref.dtype)
 
@@ -812,20 +867,21 @@ def banded_q_bsr_spmm_gram(qblocks, scale_rows, diag, x, v=None, *,
             f"nbr % {_TILE_R} == 0 and nbr >= {2 * _TILE_R}; "
             f"got nbr={nbr}, K={K}, bw={bw}")
     n_in, m = x.shape
-    if v is None:
-        v = x
-    mv = v.shape[1]
+    v_is_x = v is None
+    mv = m if v_is_x else v.shape[1]
     mp = max(128, -(-m // 128) * 128)
     if mp != m:
         x = jnp.pad(x, ((0, 0), (0, mp - m)))
     mvp = max(128, -(-mv // 128) * 128)
-    if mvp != mv:
+    if not v_is_x and mvp != mv:
         v = jnp.pad(v, ((0, 0), (0, mvp - mv)))
 
     b_item = 1 + 4 / bs + 4 / (K * bs)
     out_item = out_dtype.itemsize if write_out else 0
     plan = _gram_plan(nbr, bs, K, bw, m, mv, x.dtype.itemsize, b_item,
-                      out_item, v.dtype.itemsize)
+                      out_item,
+                      x.dtype.itemsize if v_is_x else v.dtype.itemsize,
+                      v_is_x)
     if plan is None:
         raise ValueError(
             f"banded_q_bsr_spmm_gram: no (tile, ring) plan fits VMEM for "
@@ -833,28 +889,33 @@ def banded_q_bsr_spmm_gram(qblocks, scale_rows, diag, x, v=None, *,
     R, NB, W = plan
 
     kernel = functools.partial(_banded_q_gram_kernel, K=K, bw=bw, W=W,
-                               nbr=nbr, R=R, NB=NB, write_out=write_out)
+                               nbr=nbr, R=R, NB=NB, write_out=write_out,
+                               v_is_x=v_is_x)
     g_shape = jax.ShapeDtypeStruct((mvp, mp), jnp.float32)
     in_specs = [
         pl.BlockSpec((R, bs, K * bs), lambda r: (r, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((R, K * bs), lambda r: (r, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((R, bs), lambda r: (r, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((R * bs, mvp), lambda r: (r, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((R, bs), lambda r: (r, 0), memory_space=pltpu.VMEM),
     ]
+    if not v_is_x:
+        in_specs.append(pl.BlockSpec((R * bs, mvp), lambda r: (r, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    operands = ((qblocks, scale_rows, diag, x) if v_is_x
+                else (qblocks, scale_rows, diag, v, x))
     g_spec = pl.BlockSpec((mvp, mp), lambda r: (0, 0),
                           memory_space=pltpu.VMEM)
     scratch = [
         pltpu.VMEM((NB, W * bs, mp), x.dtype),
         pltpu.SemaphoreType.DMA((NB,)),
     ]
+    ybuf = pltpu.VMEM((R * bs, mp), x.dtype if v_is_x else v.dtype)
     read_bytes = (qblocks.size + scale_rows.size * 4 + diag.size * 4
                   + (nbr // R) * W * bs * mp * x.dtype.itemsize
-                  + nbr * bs * mvp * v.dtype.itemsize)
+                  + (0 if v_is_x
+                     else nbr * bs * mvp * v.dtype.itemsize))
     gram_flops = 2 * nbr * bs * mvp * mp
     if write_out:
         y, g = pl.pallas_call(
@@ -865,7 +926,7 @@ def banded_q_bsr_spmm_gram(qblocks, scale_rows, diag, x, v=None, *,
             scratch_shapes=scratch + [
                 pltpu.VMEM((_N_OUT_BUFFERS, R, bs, mp), out_dtype),
                 pltpu.SemaphoreType.DMA((_N_OUT_BUFFERS,)),
-                pltpu.VMEM((R * bs, mp), v.dtype),
+                ybuf,
             ],
             out_shape=[jax.ShapeDtypeStruct((nbr, bs, mp), out_dtype),
                        g_shape],
@@ -878,7 +939,7 @@ def banded_q_bsr_spmm_gram(qblocks, scale_rows, diag, x, v=None, *,
                                 + mvp * mp * 4),
                 transcendentals=0,
             ),
-        )(qblocks, scale_rows, diag, v, x)
+        )(*operands)
         y = y.reshape(nbr * bs, mp)
         return (y[:, :m] if mp != m else y), g[:mv, :m]
     g = pl.pallas_call(
@@ -886,7 +947,7 @@ def banded_q_bsr_spmm_gram(qblocks, scale_rows, diag, x, v=None, *,
         grid=(nbr // R,),
         in_specs=in_specs,
         out_specs=g_spec,
-        scratch_shapes=scratch + [pltpu.VMEM((R * bs, mp), v.dtype)],
+        scratch_shapes=scratch + [ybuf],
         out_shape=g_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -895,7 +956,7 @@ def banded_q_bsr_spmm_gram(qblocks, scale_rows, diag, x, v=None, *,
             bytes_accessed=read_bytes + mvp * mp * 4,
             transcendentals=0,
         ),
-    )(qblocks, scale_rows, diag, v, x)
+    )(*operands)
     return g[:mv, :m]
 
 

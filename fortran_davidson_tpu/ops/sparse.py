@@ -628,11 +628,12 @@ class BSROperator(LinearOperator):
             if bw is not None and banded_gram_supported(
                     nbr, kbs // bs, bw, bs, block.shape[1], vv.shape[1],
                     item, item,
-                    jnp.dtype(target).itemsize if write_out else 0, item):
+                    jnp.dtype(target).itemsize if write_out else 0, item,
+                    v is None):
                 out = banded_bsr_spmm_gram(
                     self.blocks.astype(compute), block.astype(compute),
-                    vv.astype(compute), bandwidth=bw,
-                    write_out=write_out, out_dtype=target)
+                    None if v is None else vv.astype(compute),
+                    bandwidth=bw, write_out=write_out, out_dtype=target)
                 return out
         return _two_pass_gram(self, block, vv, write_out)
 
@@ -895,9 +896,10 @@ class QuantizedBandedOperator(LinearOperator):
         if self.backend == "pallas" and banded_gram_supported(
                 nbr, K, self.bandwidth, bs, block.shape[1], vv.shape[1],
                 x_item, 1 + 4 / bs + 4 / (K * bs),
-                jnp.dtype(target).itemsize if write_out else 0, x_item):
+                jnp.dtype(target).itemsize if write_out else 0, x_item,
+                v is None):
             return banded_q_bsr_spmm_gram(
-                self.qblocks, self.scale_rows, self.diag, block, vv,
+                self.qblocks, self.scale_rows, self.diag, block, v,
                 bandwidth=self.bandwidth, write_out=write_out,
                 out_dtype=target)
         return _two_pass_gram(self, block, vv, write_out)

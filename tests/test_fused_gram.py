@@ -109,6 +109,84 @@ class TestFusedKernel:
                                    rtol=3e-2, atol=3e-2)
 
 
+class TestVIsXGram:
+    """``v=None`` reads the gram operand from the window buffer's center
+    rows — x streams from HBM exactly once (round 4). Pins: identical
+    results to the explicit ``v=x`` kernel, the R=32 plan tier engages
+    for the pure-read variant, and padded widths stay correct."""
+
+    def test_matches_explicit_v(self, rng):
+        op = generate_banded_bsr(64, 8, bandwidth=2, seed=23,
+                                 dtype=jnp.float32)
+        n = op.shape[0]
+        x = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
+        g_self = banded_bsr_spmm_gram(op.blocks, x, bandwidth=2,
+                                      write_out=False, interpret=True)
+        g_expl = banded_bsr_spmm_gram(op.blocks, x, x, bandwidth=2,
+                                      write_out=False, interpret=True)
+        # R=32 (self) vs R=16 (explicit) regroups the f32 gram
+        # accumulation — last-ulp differences only.
+        np.testing.assert_allclose(np.asarray(g_self), np.asarray(g_expl),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_r32_plan_engages_for_pure_read_self_gram(self):
+        from fortran_davidson_tpu.ops.pallas_kernels import _gram_plan
+        # nbr divisible by 32: the v_is_x nowrite plan prefers R=32
+        # (fewer, deeper window DMAs); the explicit-v / write variants
+        # stay on the 16-tier.
+        plan_self = _gram_plan(64, 8, 5, 2, 8, 8, 4, 4, 0, 4, True)
+        assert plan_self is not None and plan_self[0] == 32
+        plan_expl = _gram_plan(64, 8, 5, 2, 8, 8, 4, 4, 0, 4, False)
+        assert plan_expl is not None and plan_expl[0] == 16
+        plan_write = _gram_plan(64, 8, 5, 2, 8, 8, 4, 4, 4, 4, True)
+        assert plan_write is not None and plan_write[0] == 16
+        # nbr not divisible by 32 falls back inside the same call.
+        plan_48 = _gram_plan(48, 8, 5, 2, 8, 8, 4, 4, 0, 4, True)
+        assert plan_48 is not None and plan_48[0] == 16
+
+    def test_write_out_and_padded_m(self, rng):
+        op = generate_banded_bsr(64, 8, bandwidth=1, seed=29,
+                                 dtype=jnp.float32)
+        n = op.shape[0]
+        x = jnp.asarray(rng.standard_normal((n, 130)), jnp.float32)
+        y, g = banded_bsr_spmm_gram(op.blocks, x, bandwidth=1,
+                                    interpret=True)
+        y_ref = banded_bsr_spmm(op.blocks, x, bandwidth=1, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(x).T @ np.asarray(y_ref),
+            rtol=1e-4, atol=1e-2)
+
+    def test_quantized_self_gram_matches_explicit(self, rng):
+        op = generate_banded_bsr(64, 8, bandwidth=2, seed=31,
+                                 dtype=jnp.float32)
+        qop = quantize_banded_int8(op)
+        n = op.shape[0]
+        x = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
+        g_self = banded_q_bsr_spmm_gram(
+            qop.qblocks, qop.scale_rows, qop.diag, x, bandwidth=2,
+            write_out=False, interpret=True)
+        g_expl = banded_q_bsr_spmm_gram(
+            qop.qblocks, qop.scale_rows, qop.diag, x, x, bandwidth=2,
+            write_out=False, interpret=True)
+        # Different tile heights regroup the f32 accumulation (see
+        # test_matches_explicit_v); entries reach ~1.3e5, so eps-level
+        # regrouping shows up at ~1e-2 absolute.
+        np.testing.assert_allclose(np.asarray(g_self), np.asarray(g_expl),
+                                   rtol=1e-5, atol=2e-2)
+        y, g = banded_q_bsr_spmm_gram(
+            qop.qblocks, qop.scale_rows, qop.diag, x, bandwidth=2,
+            interpret=True)
+        y_ref = banded_q_bsr_spmm(qop.qblocks, qop.scale_rows, qop.diag,
+                                  x, bandwidth=2, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+        # write (R=16) vs nowrite (R=32) regroup the f32 gram too.
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_self),
+                                   rtol=1e-5, atol=2e-2)
+
+
 class TestQuantizedFusedKernel:
     def test_matches_two_pass(self, rng):
         op = generate_banded_bsr(32, 8, bandwidth=2, seed=11,
