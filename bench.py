@@ -44,6 +44,20 @@ _HBM_GBPS = {
     "TPU7x": 7400.0,
 }
 
+# Per-chip bf16 MXU peak (TFLOP/s) — the compute leg of the roofline.
+# The fused SpMM+Gram sweep is compute-heavy enough to be MXU-bound
+# (measured round 4: 157 TFLOP/s sustained on v5e = 80% of peak), so
+# its light speed is max(bytes/BW, flops/peak), not bytes/BW alone.
+_MXU_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5p": 459.0,
+    "TPU v5": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5 lite": 197.0,
+    "TPU v6e": 918.0,
+    "TPU v6 lite": 918.0,
+}
+
 _CHAIN = 100
 
 # Soft deadline (absolute time.monotonic()) set by main(); sections
@@ -58,6 +72,14 @@ def _device_hbm_gbps() -> float:
         if kind.lower().startswith(name.lower()):
             return bw
     return 819.0  # v5e-class default
+
+
+def _device_mxu_tflops() -> float:
+    kind = jax.devices()[0].device_kind
+    for name, fl in sorted(_MXU_TFLOPS.items(), key=lambda kv: -len(kv[0])):
+        if kind.lower().startswith(name.lower()):
+            return fl
+    return 197.0  # v5e-class default
 
 
 def _copy_roofline_kernel(bs, K, W, R, NB, mp, bdt, xdt, odt, nbr):
@@ -326,6 +348,24 @@ def bench_bsr_spmm():
                     + (nbr // Rf) * Wf * bs * m * 2)    # x windows (bf16)
 
         fd = dict(timings=fused)
+        # The fused op's intrinsic work: SpMM (2*nnz*m) + the gram
+        # contraction (2*n*m^2). Its light speed is the two-leg roofline
+        # max(bytes/BW, flops/MXU-peak): measured round 4, the pure-read
+        # sweep is MXU-BOUND (157 TFLOP/s sustained = 80% of v5e peak;
+        # removing 268 MB of redundant v-stream reads moved time <2% —
+        # experiments/r4_visx_probe2.py), so bytes/BW alone would
+        # flatter nothing and understate the kernel.
+        flops_min = 2 * nnz * m + 2 * n * m * m
+        peak_flops = _device_mxu_tflops() * 1e12
+
+        def leg_fracs(t, bytes_min):
+            mem_leg = bytes_min / nominal
+            mxu_leg = flops_min / peak_flops
+            return dict(
+                frac_of_nominal_hbm_roofline=mem_leg / t,
+                frac_of_mxu_peak=mxu_leg / t,
+                frac_of_roofline=max(mem_leg, mxu_leg) / t,
+            )
         reads_nw = fused_reads(0)
         if isinstance(fused.get("fused_nowrite_int8"), float) \
                 and reads_nw is not None:
@@ -334,7 +374,8 @@ def bench_bsr_spmm():
                 time_s=t_nw,
                 eff_nnz_per_s=nnz * m / t_nw,
                 bytes_min=reads_nw,
-                frac_of_nominal_hbm_roofline=reads_nw / nominal / t_nw,
+                flops_min=flops_min,
+                **leg_fracs(t_nw, reads_nw),
             )
         reads_w = fused_reads(2)
         if isinstance(fused.get("fused_int8"), float) \
@@ -344,8 +385,8 @@ def bench_bsr_spmm():
                 time_s=t_f,
                 eff_nnz_per_s=nnz * m / t_f,
                 bytes_min=reads_w + n * m * 2,
-                frac_of_nominal_hbm_roofline=(
-                    (reads_w + n * m * 2) / nominal / t_f),
+                flops_min=flops_min,
+                **leg_fracs(t_f, reads_w + n * m * 2),
                 # vs two-pass: plain int8 SpMM + a separate gram pass
                 # (reads Y and V) — the fusion's iteration-level win.
                 two_pass_estimate_s=(results.get("int8", float("nan"))
@@ -652,15 +693,16 @@ def main():
              if "frac_of_measured_copy_roofline" in spmm
              else "nominal HBM bandwidth")
     # The fused producer→consumer sweep (SpMM + Rayleigh-Ritz projection
-    # block in one pass, write-free) is scored against NOMINAL bandwidth
-    # — its traffic is pure reads, so no rebase is needed. When it wins,
-    # it becomes the headline basis: it is the actual Davidson hot pair,
-    # not a synthetic variant.
+    # block in one pass, write-free) is scored against the NOMINAL
+    # two-leg roofline max(bytes/BW, flops/MXU-peak) — its traffic is
+    # pure reads and its compute leg binds (measured round 4), so no
+    # rebase is involved. When it wins, it becomes the headline basis:
+    # it is the actual Davidson hot pair, not a synthetic variant.
     fng = (spmm.get("fused_gram", {}).get("nowrite", {})
-           .get("frac_of_nominal_hbm_roofline"))
+           .get("frac_of_roofline"))
     if fng is not None and fng > frac:
         frac = fng
-        basis = "nominal HBM bandwidth (fused SpMM+gram, write-free)"
+        basis = "nominal two-leg roofline (fused SpMM+gram, write-free)"
     details["spmm"] = spmm
     details["roofline_basis"] = basis
     _emit({

@@ -322,6 +322,10 @@ def banded_pallas_supported(nbr: int, K: int, bandwidth: int) -> bool:
 
 
 _VMEM_BUDGET = 14 * 2**20  # leave headroom below the ~16 MB/core VMEM
+# The pure-read fused-gram sweep (no out ring, no v stream) carries less
+# hidden overhead; Mosaic maps its 14.7 MB R=32/NB=3 plan fine (probe:
+# experiments/r4_visx_probe2.py) and NB=3 beats NB=2 by ~1%.
+_VMEM_BUDGET_PURE_READ = 15 * 2**20
 
 
 def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
@@ -345,6 +349,9 @@ def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
     window ring; see docs/ROADMAP.md), the write-ring kernels stay at
     R=16 where the write engine is the binding constraint anyway.
     """
+    budget = _VMEM_BUDGET
+    if out_item == 0 and gram_vmem:
+        budget = _VMEM_BUDGET_PURE_READ
     for R in r_tiers:
         if nbr % R or nbr < min_tiles * R or bw >= R:
             continue
@@ -355,7 +362,7 @@ def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
                     + _N_OUT_BUFFERS * R * bs * mp * out_item  # out ring
                     + gram_vmem * R                    # fused-gram v tile
                     + fixed_vmem)                      # gram accumulator
-            if vmem <= _VMEM_BUDGET:
+            if vmem <= budget:
                 return R, NB, W
     return None
 
