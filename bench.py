@@ -543,6 +543,45 @@ def bench_davidson_solve():
     return out
 
 
+def bench_northstar_10m():
+    """The literal BASELINE north star on ONE chip: lowest-20 of a
+    10M-row diagonal-dominant operator to honest 1e-8 (relative), via
+    the progressive recipe (plain f32 floor solve warm-starts the
+    refined+polished solve). max_dim_sub=44 is the single-chip basis
+    shape (wider collapses transiently double the tall carries past
+    16 GB HBM). Requires the round-4 DS operator apply: the f32 apply's
+    output rounding alone floors true residuals at ~1.4e-8 here."""
+    import numpy as np
+
+    from fortran_davidson_tpu import eigensolve
+    from fortran_davidson_tpu.models.generators import surrogate_hamiltonian
+
+    on_tpu = jax.default_backend() == "tpu"
+    n, k = (10_000_384, 20) if on_tpu else (200_192, 6)
+    op = surrogate_hamiltonian(n, dtype=jnp.float32)
+    loose = dict(method="DPR", tolerance=1e-3, relative_tolerance=True,
+                 dtype="float32", expansion="lowest-k", max_dim_sub=44,
+                 max_iterations=30)
+    kw = dict(loose, tolerance=1e-8, refined=True, final_polish=3,
+              max_iterations=120)
+
+    def run():
+        l = eigensolve(op, k, **loose)
+        return eigensolve(op, k, initial_vectors=l.eigenvectors, **kw)
+
+    r = run()
+    it = int(r.iterations)
+    t0 = time.perf_counter()
+    r = run()
+    it = int(r.iterations)
+    dt = time.perf_counter() - t0
+    return dict(
+        n=n, k=k, wall_s=dt, iterations=it,
+        converged=bool(r.converged),
+        max_true_residual=float(np.max(np.asarray(r.residual_norms))),
+    )
+
+
 def bench_batched():
     """Batched multi-problem throughput (`eigensolve_batched`): one
     vmapped program vs per-problem dispatches — the TPU-native answer to
@@ -662,11 +701,19 @@ def main():
             batched = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
     else:
         batched = {"skipped": "bench deadline passed"}
+    if time.monotonic() < deadline:
+        try:
+            northstar = bench_northstar_10m()
+        except Exception as e:  # noqa: BLE001
+            northstar = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+    else:
+        northstar = {"skipped": "bench deadline passed"}
 
     details = {
         "davidson_1M_matrix_free": solve,
         "remainder_path": remainder,
         "batched": batched,
+        "northstar_10M_lowest20": northstar,
         "device": info,
         "backend": jax.default_backend(),
     }

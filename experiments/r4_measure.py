@@ -10,14 +10,18 @@ Each result prints one JSON line; timings fetch scalars to host
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 
 
-def _finish(res):
+def _finish(res, per_pair=False):
     import numpy as np
-    return dict(
+    out = dict(
         iterations=int(res.iterations),
         converged=bool(res.converged),
         inner_iterations=(None if res.inner_iterations is None
@@ -25,6 +29,12 @@ def _finish(res):
         eigenvalues=[float(v) for v in res.eigenvalues],
         max_residual=float(np.max(np.asarray(res.residual_norms))),
     )
+    if per_pair:
+        out["residuals"] = [float(v) for v in
+                            np.asarray(res.residual_norms)]
+        out["converged_pairs"] = [bool(v) for v in
+                                  np.asarray(res.converged_pairs)]
+    return out
 
 
 def measure_gjd_warm(n: int):
@@ -93,6 +103,43 @@ def measure_pad(n: int):
     return out
 
 
+def measure_wide10m(n: int, max_dim_sub: int = 44, final_polish: int = 3):
+    """The literal BASELINE north star: lowest-20 of a 10M-row operator
+    to 1e-8 — on ONE chip. The default basis (max_dim_sub=10*k=200,
+    m_max=220) needs 17.6 GB of carries at 10M rows (a pod shape); a
+    narrow basis fits one v5e. max_dim_sub=60 (m_max=80, 6.4 GB V+AV)
+    OOMs at 10M — the collapse rotation transiently doubles both tall
+    carries — so the single-chip shape is max_dim_sub=44 (m_max=64,
+    5.1 GB; ~10.5 GB transient peak). Progressive recipe (plain f32
+    floor solve warm-starts the refined solve), chunked carries via the
+    auto default."""
+    from fortran_davidson_tpu import eigensolve
+    from fortran_davidson_tpu.models.generators import surrogate_hamiltonian
+
+    op = surrogate_hamiltonian(n, dtype=jnp.float32)
+    out = {"probe": "wide10m_lowest20", "n": n, "max_dim_sub": max_dim_sub,
+           "final_polish": final_polish}
+    loose = dict(method="DPR", tolerance=1e-3, relative_tolerance=True,
+                 dtype="float32", expansion="lowest-k",
+                 max_dim_sub=max_dim_sub, max_iterations=30)
+    kw = dict(loose, tolerance=1e-8, refined=True,
+              final_polish=final_polish, max_iterations=120)
+
+    def run():
+        l = eigensolve(op, 20, **loose)
+        return eigensolve(op, 20, initial_vectors=l.eigenvectors, **kw)
+
+    r = run()
+    info = _finish(r, per_pair=True)
+    t0 = time.perf_counter()
+    r = run()
+    info = _finish(r, per_pair=True)
+    info["wall_s"] = time.perf_counter() - t0
+    out["progressive"] = info
+    print(json.dumps(out))
+    return out
+
+
 def measure_batched(b: int = 128, n: int = 1024, k: int = 4):
     """Batched multi-problem throughput: one vmapped program vs a
     sequential per-problem loop (both on device, both warm). The batch
@@ -135,8 +182,11 @@ def measure_batched(b: int = 128, n: int = 1024, k: int = 4):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("probe", choices=["gjd_warm", "pad", "batched", "all"])
+    ap.add_argument("probe", choices=["gjd_warm", "pad", "batched",
+                                      "wide10m", "all"])
     ap.add_argument("--n", type=int, default=10_000_384)
+    ap.add_argument("--max-dim-sub", type=int, default=44)
+    ap.add_argument("--final-polish", type=int, default=3)
     args = ap.parse_args()
     if args.probe in ("gjd_warm", "all"):
         measure_gjd_warm(args.n)
@@ -144,6 +194,8 @@ def main():
         measure_pad(args.n)
     if args.probe in ("batched", "all"):
         measure_batched()
+    if args.probe in ("wide10m", "all"):
+        measure_wide10m(args.n, args.max_dim_sub, args.final_polish)
 
 
 if __name__ == "__main__":

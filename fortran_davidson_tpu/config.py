@@ -124,6 +124,11 @@ class DavidsonOptions:
         eigenvectors are the polished hi words; use
         :func:`solver.polish_eigenpairs` directly when the lo words are
         needed.
+      polish_update: the polish's per-coordinate update — "dpr"
+        (floored Jacobi/DPR, the default) or "olsen" (Olsen-projected
+        update with near-exact denominators; cures the DPR fixed point
+        when an eigenvalue falls within the denominator floor of a
+        diagonal entry — see ``core.refine.polish``).
       cheb_degree: degree of the Chebyshev filter applied to the restart
         block at every subspace collapse (0 = off, the reference
         schedule ``src/davidson.f90:218``; >= 2 enables ChASE-style
@@ -199,6 +204,7 @@ class DavidsonOptions:
     matmul_precision: Optional[str] = None
     cheb_degree: Union[int, str] = 0
     final_polish: int = 0
+    polish_update: str = "dpr"
 
     def __post_init__(self):
         validate_method(self.method)
@@ -247,6 +253,9 @@ class DavidsonOptions:
         require(self.final_polish == 0 or self.refined, InvalidOptionsError,
                 "final_polish requires refined=True (the polish runs on "
                 "the refined path's off-diagonal operator splits)")
+        require(self.polish_update in ("dpr", "olsen"),
+                InvalidOptionsError,
+                f"unknown polish_update {self.polish_update!r}")
         jnp.dtype(self.dtype)  # raises on nonsense
 
 
@@ -281,6 +290,7 @@ class ResolvedConfig:
     cheb_degree: int = 0
     cheb_auto: bool = False
     final_polish: int = 0
+    polish_update: str = "dpr"
     carry_layout: str = "flat"
 
 
@@ -429,6 +439,7 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
         cheb_degree=0 if cheb_auto else int(opts.cheb_degree),
         cheb_auto=cheb_auto,
         final_polish=int(opts.final_polish),
+        polish_update=opts.polish_update,
         carry_layout=_resolve_carry_layout(opts, n, sharded),
     )
 
@@ -463,6 +474,11 @@ class DavidsonResult:
     #   and exited early; with ``final_polish`` the polish may still
     #   report converged=True against TRUE residuals. Distinguishes
     #   "floor reached" from plain running-out-of-iterations.
+    eigenvalues_lo: jnp.ndarray = None  # (k,) low words of the polished
+    #   eigenvalues (final_polish only): ``eigenvalues`` is f32, whose
+    #   representation rounding (~6e-8·λ) exceeds a 1e-8 tolerance;
+    #   ``float64(eigenvalues) + float64(eigenvalues_lo)`` on the host
+    #   recovers the full-precision values the residual check used.
 
     def block_until_ready(self):
         self.eigenvalues.block_until_ready()
@@ -473,7 +489,7 @@ def result_flatten(res: DavidsonResult):
     return (res.eigenvalues, res.eigenvectors, res.iterations, res.converged,
             res.converged_pairs, res.residual_norms, res.residual_history,
             res.subspace_dims, res.operator_columns, res.stalled,
-            res.inner_iterations), None
+            res.inner_iterations, res.eigenvalues_lo), None
 
 
 def result_unflatten(aux, children):

@@ -736,7 +736,8 @@ def _apply_final_polish(cfg: ResolvedConfig, A: LinearOperator,
         pol = refine.polish(A_off, diag_a, res.eigenvalues,
                             res.eigenvectors,
                             iterations=cfg.final_polish,
-                            B_off=B_off, diag_b=diag_b)
+                            B_off=B_off, diag_b=diag_b,
+                            update=cfg.polish_update)
     if cfg.relative:
         conv = pol.errors < cfg.tolerance * jnp.maximum(
             jnp.abs(pol.evals), 1.0)
@@ -756,6 +757,7 @@ def _apply_final_polish(cfg: ResolvedConfig, A: LinearOperator,
         + 2 * cfg.final_polish * cfg.lowest,
         stalled=res.stalled,
         inner_iterations=res.inner_iterations,
+        eigenvalues_lo=pol.evals_lo,
     )
 
 

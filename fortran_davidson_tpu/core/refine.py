@@ -226,15 +226,30 @@ def refined_pairs(A_off, diag_a, X, B_off=None, diag_b=None) -> RefinedPairs:
 
 
 class PolishResult(NamedTuple):
-    evals: jnp.ndarray        # (k,)
+    evals: jnp.ndarray        # (k,) hi words of the refined eigenvalues
     evecs_hi: jnp.ndarray     # (n, k)
     evecs_lo: jnp.ndarray     # (n, k) double-single low words
     errors: jnp.ndarray       # (k,) final true residual norms
+    # Low words of the eigenvalues: ``evals`` alone carries the f32
+    # representation rounding (~eps/2·|λ|, i.e. 6e-8·λ — ABOVE a 1e-8
+    # tolerance), so residual-grade consumers must use
+    # ``float64(evals) + float64(evals_lo)`` on the host.
+    evals_lo: jnp.ndarray = None  # (k,)
 
 
 def polish(A_off, diag_a, evals, evecs, iterations: int = 3,
-           B_off=None, diag_b=None) -> PolishResult:
+           B_off=None, diag_b=None, update: str = "dpr") -> PolishResult:
     """Jacobi (DPR-style) eigenpair refinement with double-single vectors.
+
+    ``update="olsen"`` replaces the floored DPR step with the
+    Olsen-projected update ``δ = M⁻¹r − μ M⁻¹x`` (μ chosen so the
+    explosion along ``M⁻¹x`` cancels), using near-exact denominators.
+    This is the classical cure for the DPR breakdown when λ falls
+    within the denominator floor of a diagonal entry (λ ≈ d_i): the
+    floored DPR update FREEZES that coordinate at its incoming value,
+    fixed-pointing the polish at the incoming error (observed at the
+    10M-row lowest-20 north star: pair 1 with λ₁ = 1 − 1.6e-7 against
+    d₁ = 1 stuck at 2.5e-8; Olsen reaches the true floor).
 
     f32 *storage* of an eigenvector already floors the residual at
     ~eps*λ (rounding x elementwise perturbs Ax by ~eps*d∘x). Holding the
@@ -245,16 +260,29 @@ def polish(A_off, diag_a, evals, evecs, iterations: int = 3,
     off-diagonal operator application on (n, 2k) columns (hi and lo
     passed through A_off separately — exact to first order).
     """
+    if update not in ("dpr", "olsen"):
+        raise ValueError(
+            f"polish update must be 'dpr' or 'olsen', got {update!r}")
     gen = diag_b is not None
     x_hi = evecs
     x_lo = jnp.zeros_like(evecs)
     lam = evals
+    lam_ds = dsm.ds(evals)  # iterations=0: reported values pass through
     errors = None
 
     for _ in range(iterations):
-        # A_off @ x in DS: the lo channel is tiny, so a single f32 apply
-        # of each channel keeps the product exact to ~eps².
-        AoffX = A_off.matmat(x_hi) + A_off.matmat(x_lo)
+        # A_off @ x in DS. Preferred: the operator's own matmat_ds
+        # (compensated structural apply — the f32 apply's OUTPUT rounding
+        # alone floors the measurable residual at ~eps/2·‖A_off x‖,
+        # which at 10M-row scale sits right at the 1e-8 contract).
+        # Fallback: one f32 apply per channel — exact to ~eps² in the
+        # cancellation but carrying the apply's own output rounding.
+        Yds = A_off.matmat_ds(x_hi, x_lo)
+        if Yds is not None:
+            AoffX, Aoff_lo = Yds
+        else:
+            AoffX = A_off.matmat(x_hi) + A_off.matmat(x_lo)
+            Aoff_lo = None
         BoffX = (B_off.matmat(x_hi) + B_off.matmat(x_lo)) if (
             gen and B_off is not None) else None
 
@@ -264,6 +292,8 @@ def polish(A_off, diag_a, evals, evecs, iterations: int = 3,
             dsm.dot_cols_ds(x_hi, AoffX),
             _diag_quad_form(diag_a, x_hi,
                             extra_lo=2.0 * (diag_a[:, None] * x_lo) * x_hi))
+        if Aoff_lo is not None:
+            num = dsm.ds_add(num, dsm.ds(jnp.sum(x_hi * Aoff_lo, axis=0)))
         if gen:
             den = dsm.ds_add(
                 dsm.dot_cols_ds(x_hi, BoffX) if BoffX is not None
@@ -286,6 +316,8 @@ def polish(A_off, diag_a, evals, evecs, iterations: int = 3,
                                           lam_ds.lo, x_hi)
         dB = diag_b[:, None] if gen else 1.0
         shift_lo_term = (diag_a[:, None] - lam_ds.hi[None, :] * dB) * x_lo
+        if Aoff_lo is not None:
+            shift_lo_term = shift_lo_term + Aoff_lo
         lam_b = DS(jnp.broadcast_to(lam_ds.hi[None, :], x_hi.shape),
                    jnp.broadcast_to(lam_ds.lo[None, :], x_hi.shape))
         R_ds = _assemble_residual(
@@ -300,11 +332,31 @@ def polish(A_off, diag_a, evals, evecs, iterations: int = 3,
         # sign convention: Davidson DPR is δ = r / (λ B_d - d_A); adding δ.
         denom = lam[None, :] * (diag_b[:, None] if gen else 1.0) \
             - diag_a[:, None]
-        floor = 1e-3 * jnp.maximum(jnp.abs(lam)[None, :], 1.0)
-        denom = jnp.where(jnp.abs(denom) < floor,
-                          jnp.sign(denom) * floor + (denom == 0) * floor,
-                          denom)
-        delta = R / denom
+        if update == "olsen":
+            # Near-exact denominators (floor only against literal /0 at
+            # machine scale) + the Olsen projection. The raw M⁻¹r blows
+            # up along coordinates with λ ≈ d, but μ M⁻¹x blows up
+            # identically — the difference is finite and points at the
+            # eigenvector, so those coordinates keep updating instead of
+            # freezing under a conservative floor.
+            tiny = 1e-30 + 1e-12 * jnp.maximum(jnp.abs(lam)[None, :], 1.0)
+            sgn = jnp.where(denom < 0, -1.0, 1.0)
+            den_raw = jnp.where(jnp.abs(denom) < tiny, sgn * tiny, denom)
+            Mr = R / den_raw
+            Mx = x_hi / den_raw
+            mu_den = jnp.sum(x_hi * Mx, axis=0)
+            mu_den = jnp.where(jnp.abs(mu_den) < 1e-30,
+                               jnp.where(mu_den < 0, -1e-30, 1e-30),
+                               mu_den)
+            mu = jnp.sum(x_hi * Mr, axis=0) / mu_den
+            delta = Mr - mu[None, :] * Mx
+        else:
+            floor = 1e-3 * jnp.maximum(jnp.abs(lam)[None, :], 1.0)
+            den_fl = jnp.where(jnp.abs(denom) < floor,
+                               jnp.sign(denom) * floor
+                               + (denom == 0) * floor,
+                               denom)
+            delta = R / den_fl
         s, e2 = dsm.two_sum(x_hi, delta)
         x_hi, x_lo = dsm.fast_two_sum(s, e2 + x_lo)
 
@@ -315,5 +367,6 @@ def polish(A_off, diag_a, evals, evecs, iterations: int = 3,
         x_hi, x_lo = dsm.fast_two_sum(
             p2, e3 + x_hi * inv.lo[None, :] + x_lo * inv.hi[None, :])
 
-    return PolishResult(evals=lam, evecs_hi=x_hi, evecs_lo=x_lo,
-                        errors=errors)
+    ehi, elo = dsm.fast_two_sum(lam_ds.hi, lam_ds.lo)
+    return PolishResult(evals=ehi, evecs_hi=x_hi, evecs_lo=x_lo,
+                        errors=errors, evals_lo=elo)

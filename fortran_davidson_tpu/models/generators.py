@@ -82,6 +82,59 @@ def low_rank_plus_diag_apply(X, diag, factors, weights):
     return diag[:, None] * X + low - corr[:, None] * X
 
 
+def low_rank_offdiag_apply_ds(x_hi, x_lo, diag, factors, weights):
+    """Double-single off-diagonal apply: ``sum_r w_r u_r u_rᵀ`` minus its
+    own diagonal, on ``x = x_hi + x_lo``, returned as ``(y_hi, y_lo)``.
+
+    Why this exists: a plain f32 apply floors any residual measurement
+    at the elementwise rounding of its OWN OUTPUT — ‖error‖ ~
+    eps/2·‖A_off x‖ = eps/2·|w|·‖u‖·|uᵀx|, which at the 10M-row north
+    star is ~1.4e-8, exactly at the 1e-8 convergence contract (observed:
+    the final polish fixed-points there on unlucky pairs). Computing the
+    skinny gram ``Uᵀx`` compensated (``gram_ds``) and carrying every
+    product/add as an error-free transform pushes the floor to ~eps².
+    ``diag`` (the off-diagonal operator's zero diagonal) is accepted so
+    the signature matches the captured tuple of the f32 apply.
+    """
+    from fortran_davidson_tpu.utils import ds as dsm
+
+    U = factors  # (n, r)
+    # Fully compensated skinny gram (r, k) in DS: Dot2 per factor
+    # column (gram_ds's chunked-MXU compensation only kills the
+    # ACROSS-chunk cancellation — its within-chunk f32 einsum still
+    # rounds at ~eps·|partials|, which is the very floor this function
+    # exists to remove). The lo channel's gram is first-order small —
+    # a single f32 matmul suffices for it.
+    g_rows = [dsm.dot_cols_ds(
+        jnp.broadcast_to(U[:, r:r + 1], x_hi.shape), x_hi)
+        for r in range(U.shape[1])]
+    g = dsm.DS(jnp.stack([gr.hi for gr in g_rows]),
+               jnp.stack([gr.lo for gr in g_rows]))
+    g = dsm.ds_add(g, dsm.ds(jnp.dot(U.T, x_lo,
+                                     preferred_element_type=x_lo.dtype)))
+    p, e = dsm.two_prod(weights[:, None], g.hi)
+    h_hi, h_lo = p, e + weights[:, None] * g.lo
+
+    # y = U @ h as an exact r-term outer-product cascade (r is tiny).
+    y_hi = None
+    y_lo = jnp.zeros_like(x_hi)
+    for r in range(U.shape[1]):
+        p, e = dsm.two_prod(U[:, r:r + 1], h_hi[r:r + 1, :])
+        if y_hi is None:
+            y_hi = p
+        else:
+            y_hi, es = dsm.two_sum(y_hi, p)
+            y_lo = y_lo + es
+        y_lo = y_lo + e + U[:, r:r + 1] * h_lo[r:r + 1, :]
+
+    # Remove the low-rank part's own diagonal exactly.
+    corr = jnp.sum((U * U) * weights[None, :], axis=1)
+    q, eq = dsm.two_prod(-corr[:, None], x_hi)
+    y_hi, es = dsm.two_sum(y_hi, q)
+    y_lo = y_lo + eq + es - corr[:, None] * x_lo
+    return dsm.fast_two_sum(y_hi, y_lo)
+
+
 def surrogate_hamiltonian(n: int, coupling: float = 1e-4,
                           dtype=jnp.float64) -> MatrixFreeOperator:
     """Matrix-free CI-matrix surrogate: A_ii = i+1,
@@ -103,7 +156,8 @@ def surrogate_hamiltonian(n: int, coupling: float = 1e-4,
 
     return MatrixFreeOperator(apply, n, dtype=dt, diag=diag,
                               captured=(diag, U, w),
-                              offdiag_fn=offdiag_apply)
+                              offdiag_fn=offdiag_apply,
+                              offdiag_ds_fn=low_rank_offdiag_apply_ds)
 
 
 def surrogate_overlap(n: int, coupling: float = 1e-5,
@@ -125,4 +179,5 @@ def surrogate_overlap(n: int, coupling: float = 1e-5,
 
     return MatrixFreeOperator(apply, n, dtype=dt, diag=diag,
                               captured=(diag, U, w),
-                              offdiag_fn=offdiag_apply)
+                              offdiag_fn=offdiag_apply,
+                              offdiag_ds_fn=low_rank_offdiag_apply_ds)

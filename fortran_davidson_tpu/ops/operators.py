@@ -69,6 +69,20 @@ class LinearOperator(abc.ABC):
         """
         return SubtractDiagOperator(self)
 
+    def matmat_ds(self, x_hi, x_lo):
+        """Optional double-single block apply: ``(y_hi, y_lo)`` with
+        ``y_hi + y_lo ≈ A @ (x_hi + x_lo)`` to ~eps².
+
+        A plain f32 ``matmat`` floors ANY residual measurement at the
+        elementwise rounding of its own output (~eps/2·‖A_off x‖ in
+        norm — at the 10M-row north star that is ~1.4e-8, right at the
+        1e-8 contract). Operators whose structure admits a compensated
+        evaluation (e.g. low-rank couplings with DS grams) override
+        this; ``None`` (the default) means unsupported and callers fall
+        back to the single-array apply.
+        """
+        return None
+
     def matvec(self, vec):
         """Apply to a single vector (thin wrapper over block apply)."""
         return self.matmat(vec[:, None])[:, 0]
@@ -225,7 +239,9 @@ class MatrixFreeOperator(LinearOperator):
     """
 
     def __init__(self, fn: Callable, n: int, dtype=jnp.float64,
-                 diag=None, captured=(), offdiag_fn: Optional[Callable] = None):
+                 diag=None, captured=(), offdiag_fn: Optional[Callable] = None,
+                 ds_fn: Optional[Callable] = None,
+                 offdiag_ds_fn: Optional[Callable] = None):
         self.fn = fn
         self._n = int(n)
         self._dtype = jnp.dtype(dtype)
@@ -235,6 +251,11 @@ class MatrixFreeOperator(LinearOperator):
         # refined/high-precision path; without it offdiag() falls back to
         # the generic matmat - diag·x wrapper.
         self.offdiag_fn = offdiag_fn
+        # Optional double-single applies (see LinearOperator.matmat_ds):
+        # ds_fn(x_hi, x_lo, *captured) -> (y_hi, y_lo) for THIS operator;
+        # offdiag_ds_fn becomes the ds_fn of the offdiag() operator.
+        self.ds_fn = ds_fn
+        self.offdiag_ds_fn = offdiag_ds_fn
 
     @property
     def shape(self):
@@ -254,23 +275,31 @@ class MatrixFreeOperator(LinearOperator):
             return self.diag
         return probe_diagonal(self.matmat, self._n, self._dtype)
 
+    def matmat_ds(self, x_hi, x_lo):
+        if self.ds_fn is None:
+            return None
+        return self.ds_fn(x_hi, x_lo, *self.captured)
+
     def offdiag(self):
         if self.offdiag_fn is None:
             return super().offdiag()
         return MatrixFreeOperator(self.offdiag_fn, self._n,
                                   dtype=self._dtype,
                                   diag=jnp.zeros((self._n,), self._dtype),
-                                  captured=self.captured)
+                                  captured=self.captured,
+                                  ds_fn=self.offdiag_ds_fn)
 
     def tree_flatten(self):
         return ((self.diag, self.captured),
-                (self.fn, self._n, self._dtype, self.offdiag_fn))
+                (self.fn, self._n, self._dtype, self.offdiag_fn,
+                 self.ds_fn, self.offdiag_ds_fn))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         obj.diag, obj.captured = children
-        obj.fn, obj._n, obj._dtype, obj.offdiag_fn = aux
+        (obj.fn, obj._n, obj._dtype, obj.offdiag_fn,
+         obj.ds_fn, obj.offdiag_ds_fn) = aux
         return obj
 
 

@@ -79,7 +79,8 @@ def eigensolve(matrix, lowest: int, second_matrix=None,
 
 
 def polish_eigenpairs(matrix, result: DavidsonResult, iterations: int = 3,
-                      second_matrix=None, dtype=None):
+                      second_matrix=None, dtype=None,
+                      update: str = "dpr"):
     """Double-single post-refinement of a solve's eigenpairs.
 
     f32 storage of an eigenvector floors its attainable residual at
@@ -103,7 +104,8 @@ def polish_eigenpairs(matrix, result: DavidsonResult, iterations: int = 3,
         A.offdiag(), A.diagonal(), result.eigenvalues, result.eigenvectors,
         iterations=iterations,
         B_off=None if B is None else B.offdiag(),
-        diag_b=None if B is None else B.diagonal())
+        diag_b=None if B is None else B.diagonal(),
+        update=update)
 
 
 def generalized_eigensolver(matrix, lowest: int, method: str = "DPR",
