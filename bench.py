@@ -674,7 +674,7 @@ def main():
     # are skipped once the deadline passes rather than risking the
     # driver killing the process before _emit.
     deadline = time.monotonic() + float(
-        os.environ.get("BENCH_DEADLINE_S", "1500"))
+        os.environ.get("BENCH_DEADLINE_S", "1800"))
     _DEADLINE[0] = deadline
 
     errors = {}
@@ -687,6 +687,15 @@ def main():
         solve = bench_davidson_solve()
     except Exception as e:  # noqa: BLE001
         solve = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+    # Section order = value order: if the soft deadline hits, the
+    # lower-priority A/Bs get skipped before the north-star workload.
+    if time.monotonic() < deadline:
+        try:
+            northstar = bench_northstar_10m()
+        except Exception as e:  # noqa: BLE001
+            northstar = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+    else:
+        northstar = {"skipped": "bench deadline passed"}
     if time.monotonic() < deadline:
         try:
             remainder = bench_remainder_path()
@@ -701,13 +710,6 @@ def main():
             batched = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
     else:
         batched = {"skipped": "bench deadline passed"}
-    if time.monotonic() < deadline:
-        try:
-            northstar = bench_northstar_10m()
-        except Exception as e:  # noqa: BLE001
-            northstar = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
-    else:
-        northstar = {"skipped": "bench deadline passed"}
 
     details = {
         "davidson_1M_matrix_free": solve,

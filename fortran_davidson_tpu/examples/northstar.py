@@ -17,6 +17,18 @@ shape end to end:
   ``parallel.multihost.initialize()`` on pods).
 
 Run: ``python -m fortran_davidson_tpu.examples.northstar --n 10000384``
+
+The LITERAL BASELINE north star — lowest-20 of 10M rows to honest 1e-8
+— fits ONE v5e chip with the narrow basis shape (wider collapses
+transiently double the tall carries past 16 GB HBM)::
+
+    python -m fortran_davidson_tpu.examples.northstar --lowest 20 \\
+        --progressive --tolerance 1e-8 --expansion lowest-k \\
+        --max-dim-sub 44
+
+Measured (v5e, round 4): 6.68 s warm, 24 refined iterations, all 20
+pairs converged, true residuals <= 8.2e-11 (needs the DS operator
+apply — see CHANGELOG 0.5.0).
 """
 
 from __future__ import annotations
