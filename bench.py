@@ -656,81 +656,21 @@ def _emit(payload: dict, rc: int):
     os._exit(rc)
 
 
-def main():
-    timeout_s = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "300"))
-    ok, info = _probe_backend(timeout_s)
-    if not ok:
-        _emit({
-            "metric": "banded_bsr_spmm_effective_nnz_per_s",
-            "value": 0.0,
-            "unit": "nnz/s",
-            "vs_baseline": 0.0,
-            "error": f"backend unavailable: {info}",
-        }, 1)
+# Incrementally updated artifact: if the driver kills this process
+# before all sections finish (SIGTERM) or the hard-alarm backstop fires
+# (SIGALRM at deadline + 10 min), whatever has completed is emitted as
+# the one JSON line instead of losing the run entirely.
+_PAYLOAD = {
+    "metric": "banded_bsr_spmm_effective_nnz_per_s",
+    "value": 0.0,
+    "unit": "nnz/s",
+    "vs_baseline": 0.0,
+    "details": {},
+}
 
-    # Soft wall-clock deadline: remote compiles cost 20-90 s each and
-    # this harness now runs ~10 jitted programs; the artifact (one JSON
-    # line) must exist even if sections run long, so optional sections
-    # are skipped once the deadline passes rather than risking the
-    # driver killing the process before _emit.
-    deadline = time.monotonic() + float(
-        os.environ.get("BENCH_DEADLINE_S", "1800"))
-    _DEADLINE[0] = deadline
 
-    errors = {}
-    spmm = None
-    try:
-        spmm = bench_bsr_spmm()
-    except Exception as e:  # noqa: BLE001 — partial artifact over traceback
-        errors["spmm"] = f"{type(e).__name__}: {str(e)[:300]}"
-    try:
-        solve = bench_davidson_solve()
-    except Exception as e:  # noqa: BLE001
-        solve = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
-    # Section order = value order: if the soft deadline hits, the
-    # lower-priority A/Bs get skipped before the north-star workload.
-    if time.monotonic() < deadline:
-        try:
-            northstar = bench_northstar_10m()
-        except Exception as e:  # noqa: BLE001
-            northstar = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
-    else:
-        northstar = {"skipped": "bench deadline passed"}
-    if time.monotonic() < deadline:
-        try:
-            remainder = bench_remainder_path()
-        except Exception as e:  # noqa: BLE001
-            remainder = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
-    else:
-        remainder = {"skipped": "bench deadline passed"}
-    if time.monotonic() < deadline:
-        try:
-            batched = bench_batched()
-        except Exception as e:  # noqa: BLE001
-            batched = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
-    else:
-        batched = {"skipped": "bench deadline passed"}
-
-    details = {
-        "davidson_1M_matrix_free": solve,
-        "remainder_path": remainder,
-        "batched": batched,
-        "northstar_10M_lowest20": northstar,
-        "device": info,
-        "backend": jax.default_backend(),
-    }
-    if errors:
-        details["errors"] = errors
-    if spmm is None:
-        _emit({
-            "metric": "banded_bsr_spmm_effective_nnz_per_s",
-            "value": 0.0,
-            "unit": "nnz/s",
-            "vs_baseline": 0.0,
-            "error": errors.get("spmm", "spmm benchmark failed"),
-            "details": details,
-        }, 1)
-
+def _headline_from_spmm(spmm: dict):
+    """Fill the headline metric fields from a completed spmm section."""
     target_fraction = 0.80  # BASELINE.json: >=80% of HBM roofline
     # Roofline basis: the measured pure-DMA copy of the identical byte
     # pattern (standard STREAM-style practice — nameplate bandwidth is
@@ -752,15 +692,86 @@ def main():
     if fng is not None and fng > frac:
         frac = fng
         basis = "nominal two-leg roofline (fused SpMM+gram, write-free)"
-    details["spmm"] = spmm
-    details["roofline_basis"] = basis
-    _emit({
-        "metric": "banded_bsr_spmm_effective_nnz_per_s",
-        "value": spmm["eff_nnz_per_s"],
-        "unit": "nnz/s",
-        "vs_baseline": frac / target_fraction,
-        "details": details,
-    }, 0)
+    _PAYLOAD["details"]["spmm"] = spmm
+    _PAYLOAD["details"]["roofline_basis"] = basis
+    _PAYLOAD["value"] = spmm["eff_nnz_per_s"]
+    _PAYLOAD["vs_baseline"] = frac / target_fraction
+
+
+def _install_partial_emit(deadline: float):
+    import signal
+
+    def on_signal(signum, frame):  # noqa: ARG001
+        _PAYLOAD["details"]["terminated_early"] = f"signal {signum}"
+        _emit(_PAYLOAD, 0 if _PAYLOAD["value"] else 1)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGALRM, on_signal)
+    # Hard backstop: sections only CHECK the soft deadline between
+    # sections — a section that started late can still run long.
+    signal.alarm(max(60, int(deadline - time.monotonic()) + 600))
+
+
+def main():
+    timeout_s = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "300"))
+    ok, info = _probe_backend(timeout_s)
+    if not ok:
+        _emit({
+            "metric": "banded_bsr_spmm_effective_nnz_per_s",
+            "value": 0.0,
+            "unit": "nnz/s",
+            "vs_baseline": 0.0,
+            "error": f"backend unavailable: {info}",
+        }, 1)
+
+    # Soft wall-clock deadline: remote compiles cost 20-90 s each and
+    # this harness now runs ~10 jitted programs; the artifact (one JSON
+    # line) must exist even if sections run long, so optional sections
+    # are skipped once the deadline passes rather than risking the
+    # driver killing the process before _emit.
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_DEADLINE_S", "1800"))
+    _DEADLINE[0] = deadline
+    _install_partial_emit(deadline)
+
+    details = _PAYLOAD["details"]
+    details["device"] = info
+    details["backend"] = jax.default_backend()
+    durations = details["section_wall_s"] = {}
+    errors = {}
+    spmm = None
+    t0 = time.monotonic()
+    try:
+        spmm = bench_bsr_spmm()
+        _headline_from_spmm(spmm)
+    except Exception as e:  # noqa: BLE001 — partial artifact over traceback
+        errors["spmm"] = f"{type(e).__name__}: {str(e)[:300]}"
+        details["errors"] = errors
+    durations["spmm"] = round(time.monotonic() - t0, 1)
+
+    # Section order = value order: if the soft deadline hits, the
+    # lower-priority A/Bs get skipped before the north-star workload.
+    sections = (
+        ("davidson_1M_matrix_free", bench_davidson_solve, False),
+        ("northstar_10M_lowest20", bench_northstar_10m, True),
+        ("remainder_path", bench_remainder_path, True),
+        ("batched", bench_batched, True),
+    )
+    for name, fn, optional in sections:
+        if optional and time.monotonic() > deadline:
+            details[name] = {"skipped": "bench deadline passed"}
+            continue
+        t0 = time.monotonic()
+        try:
+            details[name] = fn()
+        except Exception as e:  # noqa: BLE001
+            details[name] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+        durations[name] = round(time.monotonic() - t0, 1)
+
+    if spmm is None:
+        _PAYLOAD["error"] = errors.get("spmm", "spmm benchmark failed")
+        _emit(_PAYLOAD, 1)
+    _emit(_PAYLOAD, 0)
 
 
 if __name__ == "__main__":
