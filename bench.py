@@ -601,21 +601,26 @@ def bench_batched():
     kw = dict(tolerance=1e-4, dtype="float32", max_iterations=60)
 
     out = dict(b=b, n=n, k=k)
+    # block_until_ready does not block through the axon tunnel (see the
+    # module header) — every timed window ends with a SCALAR FETCH that
+    # depends on all the work being timed.
     r = eigensolve_batched(mats, k, **kw)
-    r.block_until_ready()
+    float(jnp.sum(r.eigenvalues))
     t0 = time.perf_counter()
     r = eigensolve_batched(mats, k, **kw)
-    r.block_until_ready()
+    float(jnp.sum(r.eigenvalues))
     out["batched_s"] = time.perf_counter() - t0
     out["all_converged"] = bool(jnp.all(r.converged))
     out["problems_per_s"] = b / out["batched_s"]
 
     r1 = eigensolve(mats[0], k, **kw)
-    r1.block_until_ready()
+    float(jnp.sum(r1.eigenvalues))
     t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
     for i in range(b):
         ri = eigensolve(mats[i], k, **kw)
-    ri.block_until_ready()
+        acc = acc + jnp.sum(ri.eigenvalues)
+    float(acc)
     out["sequential_s"] = time.perf_counter() - t0
     out["speedup"] = out["sequential_s"] / out["batched_s"]
     return out
@@ -770,6 +775,12 @@ def main():
 
     if spmm is None:
         _PAYLOAD["error"] = errors.get("spmm", "spmm benchmark failed")
+        _emit(_PAYLOAD, 1)
+    if not _PAYLOAD["value"]:
+        # spmm returned but the headline never landed (e.g. a missing
+        # key in _headline_from_spmm) — a zero measurement must not
+        # read as a valid rc=0 artifact.
+        _PAYLOAD.setdefault("error", "headline metric missing")
         _emit(_PAYLOAD, 1)
     _emit(_PAYLOAD, 0)
 

@@ -158,21 +158,26 @@ def measure_batched(b: int = 128, n: int = 1024, k: int = 4):
     kw = dict(tolerance=1e-4, dtype="float32", max_iterations=60)
 
     out = {"probe": "batched", "b": b, "n": n, "k": k}
+    # Scalar fetches close every timed window — block_until_ready does
+    # not block through the tunnel (module docstring / CLAUDE.md).
     r = eigensolve_batched(mats, k, **kw)
-    r.block_until_ready()
+    float(jnp.sum(r.eigenvalues))
     t0 = time.perf_counter()
     r = eigensolve_batched(mats, k, **kw)
-    r.block_until_ready()
+    float(jnp.sum(r.eigenvalues))
     out["batched_s"] = time.perf_counter() - t0
     out["batched_all_converged"] = bool(jnp.all(r.converged))
 
-    # Sequential loop over the same problems (one compile, b dispatches).
+    # Sequential loop over the same problems (one compile, b dispatches);
+    # a scalar accumulated across ALL results closes the window.
     r1 = eigensolve(mats[0], k, **kw)
-    r1.block_until_ready()
+    float(jnp.sum(r1.eigenvalues))
     t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
     for i in range(b):
         ri = eigensolve(mats[i], k, **kw)
-    ri.block_until_ready()
+        acc = acc + jnp.sum(ri.eigenvalues)
+    float(acc)
     out["sequential_s"] = time.perf_counter() - t0
     out["speedup"] = out["sequential_s"] / out["batched_s"]
     out["problems_per_s_batched"] = b / out["batched_s"]

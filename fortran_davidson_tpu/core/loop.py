@@ -787,12 +787,19 @@ class _LRUCache:
     suite before the suite grew per-module eviction). An LRU bound keeps
     hot configs compiled while cold executables lose their last
     reference and are freed with the jitted callable.
+
+    Every instance registers itself so :func:`clear_compiled_caches` /
+    :func:`set_compiled_cache_capacity` cover ALL compiled-program
+    caches in the library (the batched solver keeps its own).
     """
+
+    instances: list = []
 
     def __init__(self, capacity: int):
         import collections
         self._d = collections.OrderedDict()
         self.capacity = capacity
+        _LRUCache.instances.append(self)
 
     def get(self, key):
         value = self._d.get(key)
@@ -836,16 +843,18 @@ def set_compiled_cache_capacity(capacity: int) -> None:
     """
     if capacity < 1:
         raise ValueError("cache capacity must be >= 1")
-    _ENGINE_CACHE.set_capacity(capacity)
-    _STEPPER_CACHE.set_capacity(capacity)
+    for cache in _LRUCache.instances:
+        cache.set_capacity(capacity)
 
 
 def clear_compiled_caches() -> None:
-    """Drop every cached compiled engine/stepper (their executables are
-    freed with the last reference). The library-level mechanism behind
-    long config sweeps; tests clear per module via this hook."""
-    _ENGINE_CACHE.clear()
-    _STEPPER_CACHE.clear()
+    """Drop every cached compiled program in the library — engines,
+    steppers, and the batched solver's vmapped programs (their
+    executables are freed with the last reference). The library-level
+    mechanism behind long config sweeps; tests clear per module via
+    this hook."""
+    for cache in _LRUCache.instances:
+        cache.clear()
 
 
 def get_engine(cfg: ResolvedConfig, constrain=None):

@@ -73,3 +73,28 @@ class TestBoundedCaches:
         fdt.clear_compiled_caches()
         assert len(loop_mod._ENGINE_CACHE) == 0
         assert len(loop_mod._STEPPER_CACHE) == 0
+
+
+class TestBatchedCacheRegistered:
+    """The batched solver's compiled-program cache participates in the
+    library-wide clear/capacity hooks (advisor-style finding, round 4):
+    its vmapped whole-engine executables are the LARGEST programs the
+    library mints, so a sweep that cannot evict them defeats the bound's
+    purpose."""
+
+    def test_clear_and_capacity_cover_batched_cache(self):
+        from fortran_davidson_tpu import batched as batched_mod
+        from fortran_davidson_tpu import eigensolve_batched
+
+        rng = np.random.default_rng(0)
+        off = np.triu((rng.random((24, 24)) - 0.5) * 1e-3, 1)
+        mats = np.stack([off + off.T + np.diag(np.arange(1, 25.0) + i)
+                         for i in range(3)]).astype(np.float32)
+        for mi in range(3):
+            eigensolve_batched(mats, 2, tolerance=1e-4, dtype="float32",
+                               max_iterations=30 + mi)
+        assert len(batched_mod._BATCHED_CACHE) == 3
+        fdt.set_compiled_cache_capacity(2)
+        assert len(batched_mod._BATCHED_CACHE) <= 2
+        fdt.clear_compiled_caches()
+        assert len(batched_mod._BATCHED_CACHE) == 0
