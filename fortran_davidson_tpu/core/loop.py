@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import weakref
 from typing import Optional
 
 import jax
@@ -790,16 +791,20 @@ class _LRUCache:
 
     Every instance registers itself so :func:`clear_compiled_caches` /
     :func:`set_compiled_cache_capacity` cover ALL compiled-program
-    caches in the library (the batched solver keeps its own).
+    caches in the library (the batched solver keeps its own). The
+    registry holds weak references: module-level singletons stay pinned
+    by their modules, while any transiently created cache (tests,
+    per-solver experiments) is dropped — not leaked with its compiled
+    executables — once its last strong reference dies.
     """
 
-    instances: list = []
+    instances: weakref.WeakSet = weakref.WeakSet()
 
     def __init__(self, capacity: int):
         import collections
         self._d = collections.OrderedDict()
         self.capacity = capacity
-        _LRUCache.instances.append(self)
+        _LRUCache.instances.add(self)
 
     def get(self, key):
         value = self._d.get(key)

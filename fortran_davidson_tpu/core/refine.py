@@ -332,6 +332,12 @@ def polish(A_off, diag_a, evals, evecs, iterations: int = 3,
         # sign convention: Davidson DPR is δ = r / (λ B_d - d_A); adding δ.
         denom = lam[None, :] * (diag_b[:, None] if gen else 1.0) \
             - diag_a[:, None]
+        floor = 1e-3 * jnp.maximum(jnp.abs(lam)[None, :], 1.0)
+        den_fl = jnp.where(jnp.abs(denom) < floor,
+                           jnp.sign(denom) * floor
+                           + (denom == 0) * floor,
+                           denom)
+        delta = R / den_fl
         if update == "olsen":
             # Near-exact denominators (floor only against literal /0 at
             # machine scale) + the Olsen projection. The raw M⁻¹r blows
@@ -345,18 +351,20 @@ def polish(A_off, diag_a, evals, evecs, iterations: int = 3,
             Mr = R / den_raw
             Mx = x_hi / den_raw
             mu_den = jnp.sum(x_hi * Mx, axis=0)
-            mu_den = jnp.where(jnp.abs(mu_den) < 1e-30,
-                               jnp.where(mu_den < 0, -1e-30, 1e-30),
+            # μ's denominator Σ xᵢ²/denᵢ can cancel toward zero when den
+            # changes sign across coordinates (λ inside the diagonal's
+            # range — the very regime Olsen targets). Once |mu_den| sinks
+            # to the summation's own noise (~eps·Σ|terms|), μ is garbage
+            # and the projected step could regress BELOW the DPR result;
+            # those columns take the floored-DPR delta instead.
+            mag = jnp.sum(jnp.abs(x_hi * Mx), axis=0)
+            noise = 16.0 * jnp.finfo(R.dtype).eps * mag + 1e-30
+            ill = jnp.abs(mu_den) < noise
+            mu_den = jnp.where(ill, jnp.where(mu_den < 0, -noise, noise),
                                mu_den)
             mu = jnp.sum(x_hi * Mr, axis=0) / mu_den
-            delta = Mr - mu[None, :] * Mx
-        else:
-            floor = 1e-3 * jnp.maximum(jnp.abs(lam)[None, :], 1.0)
-            den_fl = jnp.where(jnp.abs(denom) < floor,
-                               jnp.sign(denom) * floor
-                               + (denom == 0) * floor,
-                               denom)
-            delta = R / den_fl
+            delta = jnp.where(ill[None, :], delta,
+                              Mr - mu[None, :] * Mx)
         s, e2 = dsm.two_sum(x_hi, delta)
         x_hi, x_lo = dsm.fast_two_sum(s, e2 + x_lo)
 

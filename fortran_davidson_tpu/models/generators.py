@@ -95,6 +95,15 @@ def low_rank_offdiag_apply_ds(x_hi, x_lo, diag, factors, weights):
     product/add as an error-free transform pushes the floor to ~eps².
     ``diag`` (the off-diagonal operator's zero diagonal) is accepted so
     the signature matches the captured tuple of the f32 apply.
+
+    SMALL-RANK ASSUMPTION: the compensated gram runs one Dot2 pass per
+    factor column (each broadcasting that column to the full (n, k)
+    block) and the reconstruction is an r-term outer-product cascade —
+    O(r) full-size VPU passes total. Fine for the surrogates' r <= 2;
+    before reusing this as a generic DS apply for wide low-rank
+    operators, batch the Dot2 gram across factors (two_prod on the
+    broadcast product, one compensated reduction) so the pass count
+    stops scaling with r.
     """
     from fortran_davidson_tpu.utils import ds as dsm
 

@@ -331,7 +331,8 @@ _VMEM_BUDGET_PURE_READ = 15 * 2**20
 def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
                  x_item: int, b_item: int, out_item: int,
                  min_tiles: int = 2, gram_vmem: int = 0,
-                 fixed_vmem: int = 0, r_tiers: tuple = (16, 8)):
+                 fixed_vmem: int = 0, r_tiers: tuple = (16, 8),
+                 pure_read: bool = False):
     """Pick (tile rows R, window-ring depth NB) under the VMEM budget.
 
     Larger tiles amortize the 2*bw window-overlap traffic and give the
@@ -348,10 +349,16 @@ def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
     measured DMA-issue contention between the block pipeline and the
     window ring; see docs/ROADMAP.md), the write-ring kernels stay at
     R=16 where the write engine is the binding constraint anyway.
+
+    ``pure_read``: the caller attests this plan carries NO out ring and
+    NO pipelined v stream (the ``v_is_x`` no-write sweep — the only
+    configuration the relaxed 15 MB budget was Mosaic-probed on,
+    ``experiments/r4_visx_probe2.py``). Explicit-v no-write plans still
+    double-buffer a v tile and must stay under the conservative budget,
+    or a 14-15 MB shape would pass the support probe and then fail
+    VMEM mapping at run time instead of taking the two-pass fallback.
     """
-    budget = _VMEM_BUDGET
-    if out_item == 0 and gram_vmem:
-        budget = _VMEM_BUDGET_PURE_READ
+    budget = _VMEM_BUDGET_PURE_READ if pure_read else _VMEM_BUDGET
     for R in r_tiers:
         if nbr % R or nbr < min_tiles * R or bw >= R:
             continue
@@ -390,10 +397,12 @@ def _gram_plan(nbr, bs, K, bw, m, mv, x_item, b_item, out_item, v_item,
     # single per-tile gram dot.
     v_tile = 0 if v_is_x else 2 * mvp * v_item
     ybuf_item = x_item if v_is_x else v_item
-    r_tiers = (32, 16, 8) if (v_is_x and out_item == 0) else (16, 8)
+    pure_read = v_is_x and out_item == 0
+    r_tiers = (32, 16, 8) if pure_read else (16, 8)
     return _banded_plan(nbr, bs, K, bw, mp, x_item, b_item, out_item,
                         gram_vmem=(v_tile + mp * ybuf_item) * bs,
-                        fixed_vmem=mvp * mp * 4, r_tiers=r_tiers)
+                        fixed_vmem=mvp * mp * 4, r_tiers=r_tiers,
+                        pure_read=pure_read)
 
 
 def banded_gram_supported(nbr: int, K: int, bw: int, bs: int, m: int,

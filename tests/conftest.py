@@ -34,6 +34,29 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (the million-row regression tier; "
+        "also enabled by FDT_RUN_SLOW=1 — CI runs them nightly)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default run skips the `slow` tier (million-row CPU solves that
+    dominated the suite wall time, ~22 -> ~10 min). Every coverage CLASS
+    keeps a fast representative (noise gate / polish / stall / refined
+    pencil all run at the 100k-200k scale unmarked); the slow tier
+    re-pins the same behavior at the 1M scale on demand:
+    ``pytest --runslow`` or ``FDT_RUN_SLOW=1``."""
+    if config.getoption("--runslow") or os.environ.get("FDT_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow or set "
+                            "FDT_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

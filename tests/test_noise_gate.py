@@ -29,6 +29,7 @@ def op_1m():
 
 
 class TestNoiseGate:
+    @pytest.mark.slow
     def test_refined_1m_no_blowup_and_basis_stays_clean(self, op_1m):
         # The defining regression: residuals must improve monotonically
         # (no junk-column blow-up) and the basis must never carry a
@@ -45,6 +46,7 @@ class TestNoiseGate:
         assert np.all(h[2:, 0] < 10.0 * best[1:-1] + 1e-12)
         assert h[-1].max() < 2e-5  # pre-fix: 8e-3
 
+    @pytest.mark.slow
     def test_stall_exits_early(self, op_1m):
         # Once every correction is dropped as noise, the lowest-k state
         # is a fixed point — the loop must exit instead of spinning to
@@ -58,6 +60,7 @@ class TestNoiseGate:
 
 
 class TestFinalPolish:
+    @pytest.mark.slow
     def test_1m_converges_at_1e8_absolute(self, op_1m):
         res = fdt.eigensolve(op_1m, 4, method="DPR", tolerance=1e-8,
                              max_iterations=40, dtype="float32",
@@ -91,6 +94,7 @@ class TestFinalPolish:
                                    atol=1e-5)
         assert float(np.max(np.asarray(res.residual_norms))) < 1e-7
 
+    @pytest.mark.slow
     def test_operator_columns_account_polish(self, op_1m):
         base = fdt.eigensolve(op_1m, 4, method="DPR", tolerance=1e-5,
                               relative_tolerance=True, max_iterations=10,
@@ -105,6 +109,7 @@ class TestFinalPolish:
 
 
 class TestStalledReporting:
+    @pytest.mark.slow
     def test_stalled_flag_surfaces(self, op_1m):
         # The stall exit (noise-gate fixed point or plateau) must be
         # visible on the result, distinguishing "floor reached" from

@@ -82,6 +82,7 @@ class TestRefinedPencilSmall:
 
 
 class TestRefinedPencilAtScale:
+    @pytest.mark.slow
     def test_1m_generalized_converges_at_1e8_absolute(self):
         # The verdict's done-criterion: a 1M-row generalized refined
         # solve with in-solve polish converging with TRUE residuals
