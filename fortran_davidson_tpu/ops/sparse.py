@@ -177,6 +177,15 @@ class ELLOperator(LinearOperator):
         return _ell_chunked_apply(self.indices, self.values, block,
                                   self.chunk)
 
+    def matmat_ds(self, x_hi, x_lo):
+        """Compensated DS apply: chunk partials combined with exact
+        two_sum, lo channel through a plain pass (see
+        :meth:`BSROperator.matmat_ds` for the accuracy contract — the
+        remaining per-chunk rounding is ~eps * |stored| * |x|, eps²-grade
+        on off-diagonal splits of diagonal-dominant operators)."""
+        return _ell_chunked_apply_ds(self.indices, self.values,
+                                     x_hi, x_lo, self.chunk)
+
     def diagonal(self):
         n = self.indices.shape[0]
         on_diag = self.indices == jnp.arange(n, dtype=jnp.int32)[:, None]
@@ -239,6 +248,44 @@ def _ell_chunked_apply(indices, values, block, chunk):
     if rem:
         out = out + piece(indices[:, nfull * c:], values[:, nfull * c:])
     return out
+
+
+def _ell_chunked_apply_ds(indices, values, x_hi, x_lo, chunk):
+    """DS sibling of :func:`_ell_chunked_apply`: every chunk partial is
+    folded with exact two_sum (hi channel) and the lo input channel's
+    contribution (first-order small) rides in the error channel."""
+    from fortran_davidson_tpu.utils import ds as dsm
+    r, L = indices.shape
+    m = x_hi.shape[1]
+    dt = x_hi.dtype
+    c = max(1, min(chunk, L))
+    nfull, rem = divmod(L, c)
+    hp = jax.lax.Precision.HIGHEST
+
+    def piece(idx, val, x):
+        gathered = jnp.take(x, idx, axis=0)               # (r, c, m)
+        return jnp.einsum("nl,nlm->nm", val.astype(dt), gathered,
+                          preferred_element_type=dt, precision=hp)
+
+    hi = jnp.zeros((r, m), dt)
+    lo = jnp.zeros((r, m), dt)
+    if nfull:
+        idx3 = indices[:, : nfull * c].reshape(r, nfull, c)
+        val3 = values[:, : nfull * c].reshape(r, nfull, c)
+
+        def body(i, carry):
+            h, l = carry
+            idx = jax.lax.dynamic_index_in_dim(idx3, i, 1, keepdims=False)
+            val = jax.lax.dynamic_index_in_dim(val3, i, 1, keepdims=False)
+            h2, e = dsm.two_sum(h, piece(idx, val, x_hi))
+            return h2, l + e + piece(idx, val, x_lo)
+
+        hi, lo = jax.lax.fori_loop(0, nfull, body, (hi, lo))
+    if rem:
+        idx, val = indices[:, nfull * c:], values[:, nfull * c:]
+        hi, e = dsm.two_sum(hi, piece(idx, val, x_hi))
+        lo = lo + e + piece(idx, val, x_lo)
+    return dsm.fast_two_sum(hi, lo)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -409,6 +456,24 @@ class SlicedELLOperator(LinearOperator):
         stacked = jnp.concatenate(outs, axis=0)
         return jnp.take(stacked, self.gather_map, axis=0)
 
+    def matmat_ds(self, x_hi, x_lo):
+        """Compensated DS apply: per-bucket DS partials (see
+        :meth:`ELLOperator.matmat_ds`), both channels unsorted with the
+        same gather (the unsort moves values, it adds no arithmetic)."""
+        m = x_hi.shape[1]
+        dt = x_hi.dtype
+        his, los = [], []
+        for i, v in zip(self.bucket_indices, self.bucket_values):
+            h, l = _ell_chunked_apply_ds(i, v, x_hi, x_lo, self.chunk)
+            his.append(h)
+            los.append(l)
+        his.append(jnp.zeros((1, m), dt))
+        los.append(jnp.zeros((1, m), dt))
+        return (jnp.take(jnp.concatenate(his, axis=0), self.gather_map,
+                         axis=0),
+                jnp.take(jnp.concatenate(los, axis=0), self.gather_map,
+                         axis=0))
+
     def diagonal(self):
         n = self.gather_map.shape[0]
         d = jnp.zeros((n,), self.dtype)
@@ -448,6 +513,37 @@ class SlicedELLOperator(LinearOperator):
          obj.gather_map) = children
         (obj.chunk,) = aux
         return obj
+
+
+def _slot_slices_dia(xb, bw: int, K: int):
+    """Per-band-slot (nbr, bs, m) input slices of a DIA-aligned operator.
+
+    Zero-pads ``bw`` block rows on each side and takes contiguous slices
+    — no gather. Identical to the clipped-gather formulation because
+    out-of-range band slots store zero blocks (0 * x == B_zero * x)."""
+    nbr = xb.shape[0]
+    xp = jnp.pad(xb, ((bw, bw), (0, 0), (0, 0)))
+    return [xp[k:k + nbr] for k in range(K)]
+
+
+def _slot_slices_gather(xb, block_cols):
+    """Per-slot input slices via the stored block-column table."""
+    return [jnp.take(xb, block_cols[:, k], axis=0)
+            for k in range(block_cols.shape[1])]
+
+
+def _ds_slot_accumulate(parts_hi, parts_lo):
+    """Exact two_sum fold of per-slot (hi, lo) contributions.
+
+    Every slot-combine rounding lands in the lo channel; only the
+    slots' own internal matmul rounding (captured by the caller's
+    error analysis, not compensated here) remains."""
+    from fortran_davidson_tpu.utils import ds as dsm
+    y_hi, y_lo = parts_hi[0], parts_lo[0]
+    for ph, pl in zip(parts_hi[1:], parts_lo[1:]):
+        y_hi, e = dsm.two_sum(y_hi, ph)
+        y_lo = y_lo + pl + e
+    return dsm.fast_two_sum(y_hi, y_lo)
 
 
 def _two_pass_gram(op, block, vv, write_out):
@@ -636,6 +732,53 @@ class BSROperator(LinearOperator):
                     bandwidth=bw, write_out=write_out, out_dtype=target)
                 return out
         return _two_pass_gram(self, block, vv, write_out)
+
+    def matmat_ds(self, x_hi, x_lo):
+        """Compensated double-single block apply (slot-split + exact
+        combine; see :meth:`LinearOperator.matmat_ds`).
+
+        Each band slot contracts as its own f32 HIGHEST-precision
+        ``(bs, bs) @ (bs, m)`` einsum and the K per-slot partials are
+        combined with exact ``two_sum``; the lo input channel passes
+        through the same per-slot contraction in plain f32 (first-order
+        small) and lands in the error channel. What remains is each
+        slot's OWN product/accumulation rounding, ~eps * sqrt(bs) *
+        |stored entries| * |x| per element — far below the full-slab
+        apply's eps*|A x| floor exactly when the stored entries are
+        small against the solve's eigenvalue scale, i.e. on the
+        OFF-DIAGONAL split of a diagonal-dominant operator (the refined
+        solver's ``A_off``, this method's intended caller; the fixture's
+        1e-3-scale couplings measure ~1e-10-grade error at 10M rows,
+        tests/test_ds_apply.py). On a full operator whose dominant
+        diagonal lives in the center slot the center contraction rounds
+        at eps*|d x| and this is no better than :meth:`matmat`.
+        Reference analogue: real64 residual evaluation,
+        ``/root/reference/src/davidson.f90:163-170,401-410``.
+        """
+        nbr, bs, kbs = self.blocks.shape
+        K = kbs // bs
+        m = x_hi.shape[1]
+        dt = x_hi.dtype
+        xb_hi = x_hi.reshape(nbr, bs, m)
+        xb_lo = x_lo.reshape(nbr, bs, m)
+        if self.bandwidth is not None:
+            hi_slices = _slot_slices_dia(xb_hi, self.bandwidth, K)
+            lo_slices = _slot_slices_dia(xb_lo, self.bandwidth, K)
+        else:
+            hi_slices = _slot_slices_gather(xb_hi, self.block_cols)
+            lo_slices = _slot_slices_gather(xb_lo, self.block_cols)
+        hp = jax.lax.Precision.HIGHEST
+        parts_hi, parts_lo = [], []
+        for k in range(K):
+            blk = self.blocks[:, :, k * bs:(k + 1) * bs].astype(dt)
+            parts_hi.append(jnp.einsum("rab,rbm->ram", blk, hi_slices[k],
+                                       preferred_element_type=dt,
+                                       precision=hp))
+            parts_lo.append(jnp.einsum("rab,rbm->ram", blk, lo_slices[k],
+                                       preferred_element_type=dt,
+                                       precision=hp))
+        y_hi, y_lo = _ds_slot_accumulate(parts_hi, parts_lo)
+        return y_hi.reshape(nbr * bs, m), y_lo.reshape(nbr * bs, m)
 
     def _blocks4(self):
         nbr, bs, kbs = self.blocks.shape
@@ -904,6 +1047,61 @@ class QuantizedBandedOperator(LinearOperator):
                 out_dtype=target)
         return _two_pass_gram(self, block, vv, write_out)
 
+    def matmat_ds(self, x_hi, x_lo):
+        """Compensated double-single apply on int8 storage.
+
+        Exploits the format's structure for precision (see
+        :meth:`BSROperator.matmat_ds` for the combine scheme):
+
+        - per band slot, the INTEGER contraction ``Q_k @ x`` runs first
+          (int8 values are exact in every float format — under HIGHEST
+          precision each bf16 MXU pass carries them exactly) and the
+          per-slot scale multiplies afterwards via exact ``two_prod``,
+          so the only uncompensated rounding is the integer matmul's
+          f32 accumulation, scaled DOWN by the tiny per-slot scale
+          (~eps * sqrt(bs) * 127 * s * |x| ≈ 1e-10-grade for
+          coupling-scale operators);
+        - the separately stored exact diagonal enters through
+          ``two_prod(d, x_hi)`` with its error and ``d * x_lo`` folded
+          into the lo channel — no large-diagonal cancellation ever
+          touches the hi channel. On the ``offdiag()`` instance the
+          diagonal is zero and the term vanishes.
+
+        This is what lets the int8 north-star operator converge to
+        honest 1e-8 true residuals: the plain f32 apply's own output
+        rounding (~1.4e-8 at 10M rows) otherwise floors the polish.
+        """
+        from fortran_davidson_tpu.utils import ds as dsm
+        nbr, bs, kbs = self.qblocks.shape
+        K = kbs // bs
+        m = x_hi.shape[1]
+        dt = x_hi.dtype
+        xb_hi = x_hi.reshape(nbr, bs, m)
+        xb_lo = x_lo.reshape(nbr, bs, m)
+        hi_slices = _slot_slices_dia(xb_hi, self.bandwidth, K)
+        lo_slices = _slot_slices_dia(xb_lo, self.bandwidth, K)
+        # One scale per (block row, slot): every lane of a slot shares it.
+        scales = self.scale_rows.reshape(nbr, K, bs)[:, :, 0].astype(dt)
+        hp = jax.lax.Precision.HIGHEST
+        parts_hi, parts_lo = [], []
+        for k in range(K):
+            qk = self.qblocks[:, :, k * bs:(k + 1) * bs].astype(dt)
+            ik_hi = jnp.einsum("rab,rbm->ram", qk, hi_slices[k],
+                               preferred_element_type=dt, precision=hp)
+            ik_lo = jnp.einsum("rab,rbm->ram", qk, lo_slices[k],
+                               preferred_element_type=dt, precision=hp)
+            sk = scales[:, k][:, None, None]
+            p, e = dsm.two_prod(ik_hi, sk)
+            parts_hi.append(p)
+            parts_lo.append(e + ik_lo * sk)
+        # Exact diagonal term in DS.
+        d = self.diag.astype(dt)[:, :, None]
+        p, e = dsm.two_prod(d, xb_hi)
+        parts_hi.append(p)
+        parts_lo.append(e + d * xb_lo)
+        y_hi, y_lo = _ds_slot_accumulate(parts_hi, parts_lo)
+        return y_hi.reshape(nbr * bs, m), y_lo.reshape(nbr * bs, m)
+
     def diagonal(self):
         return self.diag.reshape(-1)
 
@@ -1080,6 +1278,17 @@ class HybridBandedOperator(LinearOperator):
         if self.remainder is not None:
             out = out + self.remainder.matmat(block)
         return out
+
+    def matmat_ds(self, x_hi, x_lo):
+        """Compensated DS apply: band and remainder DS partials combined
+        with exact two_sum (both parts implement matmat_ds)."""
+        from fortran_davidson_tpu.utils import ds as dsm
+        bh, bl = self.band.matmat_ds(x_hi, x_lo)
+        if self.remainder is None:
+            return bh, bl
+        rh, rl = self.remainder.matmat_ds(x_hi, x_lo)
+        h, e = dsm.two_sum(bh, rh)
+        return dsm.fast_two_sum(h, bl + rl + e)
 
     def diagonal(self):
         d = self.band.diagonal()
