@@ -180,10 +180,25 @@ class DavidsonOptions:
         whenever those requirements hold and the row count admits a
         useful chunk — measured 111 -> 75 ms/iter (1.48x) on the
         10M-row refined north star on v5e.
+      fused_gram: ``"auto"`` (default) lets the solver use the
+        incremental-H engine when the operator exposes a fused
+        SpMM+Gram (``matmat_with_gram`` — the banded/quantized BSR
+        Pallas kernels): the projected matrix H = VᵀAV is carried in
+        the loop state and each expansion's new columns arrive for free
+        from the fused kernel (``G = Vᵀ(AQ)`` computed while AQ is
+        still in VMEM), replacing the per-iteration full Gram
+        recomputation (reference gemms ``src/davidson.f90:131,380``).
+        Applies to float32, standard-problem, lowest-k, non-refined
+        solves on capable operators; every other configuration runs the
+        recomputed-Gram engine unchanged. ``"off"`` disables it (exact
+        round-4 trajectory parity). The refined/compensated path never
+        uses it: the fused kernel's f32 gram accumulation is far above
+        the DS gram's precision.
     """
 
     method: str = "DPR"
     carry_layout: str = "auto"
+    fused_gram: str = "auto"
     max_iterations: int = 1000
     tolerance: float = 1e-8
     max_dim_sub: Optional[int] = None
@@ -233,6 +248,9 @@ class DavidsonOptions:
                     and self.cheb_degree >= 0),
                 InvalidOptionsError,
                 "cheb_degree must be a non-negative int or 'auto'")
+        require(self.fused_gram in ("auto", "off"), InvalidOptionsError,
+                f"unknown fused_gram {self.fused_gram!r} "
+                "(supported: 'auto', 'off')")
         require(self.carry_layout in ("auto", "flat", "chunked"),
                 InvalidOptionsError,
                 f"unknown carry_layout {self.carry_layout!r}")
@@ -292,6 +310,10 @@ class ResolvedConfig:
     final_polish: int = 0
     polish_update: str = "dpr"
     carry_layout: str = "flat"
+    # Incremental-H engine consuming the operator's fused SpMM+Gram for
+    # the expand block (set by the solver entry point — requires an
+    # operator exposing ``matmat_with_gram``; see solver.eigensolve).
+    fused_gram: bool = False
 
 
 def merge_options(options: Optional[DavidsonOptions],

@@ -81,6 +81,12 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
     dt = jnp.dtype(cfg.dtype)
     gen = B is not None
 
+    if cfg.fused_gram and (gen or cfg.refined
+                           or cfg.expansion != "lowest-k"):
+        raise ValueError(
+            "fused_gram requires a standard, non-refined, lowest-k "
+            "configuration (the solver entry point gates this)")
+
     diag_a = A.diagonal().astype(dt)
 
     if X0 is None:
@@ -137,6 +143,12 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
     )
     if gen:
         state["BV"] = BV0
+    if cfg.fused_gram:
+        # Incremental projected matrix (see DavidsonOptions.fused_gram):
+        # seeded with one full Gram; thereafter each expansion's new
+        # columns arrive from the operator's fused SpMM+Gram and a
+        # collapse re-seeds from the thin restart basis.
+        state["H"] = subspace.project(V0, AV0)
     if cfg.method == "GJD":
         # Cumulative inner-MINRES iterations across the solve — the
         # cost metric the adaptive gjd_inner_schedule reduces (the
@@ -190,6 +202,11 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
 
     diag_a = A.diagonal().astype(dt)
     diag_b = B.diagonal().astype(dt) if gen else jnp.ones((n,), dt)
+
+    if cfg.fused_gram and (gen or precise or cfg.expansion != "lowest-k"):
+        raise ValueError(
+            "fused_gram requires a standard, non-refined, lowest-k "
+            "configuration (the solver entry point gates this)")
 
     chunked = cfg.carry_layout == "chunked"
     if chunked:
@@ -300,7 +317,14 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             W = W.at[:, :k].set(_refine.refine_ritz_pencil(
                 DS(ph, pl + H_ds.lo), DS(sh, sl + S_ds.lo), w, W, k))
         else:
-            H = subspace.project(V, AV, precise=precise)
+            # Fused-gram engine: H is carried in the state (seeded at
+            # init, extended by the fused kernel at each expansion) —
+            # the per-iteration VᵀAV recomputation (two tall reads)
+            # disappears. Identical in exact arithmetic: CGS2 never
+            # touches admitted basis columns, so old H entries stay
+            # valid; inactive columns are zero in both V and H.
+            H = (st["H"] if cfg.fused_gram
+                 else subspace.project(V, AV, precise=precise))
             S = subspace.project(V, BV, precise=precise) if gen else None
             w, W = subspace.ritz_decomposition(H, S, mask)
 
@@ -380,6 +404,7 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
 
         gjd = cfg.method == "GJD"
         warm = gjd and cfg.gjd_warm
+        fused = cfg.fused_gram
         inner_ops = st["inner_ops"] if gjd else None
         corr_prev = st["corr_prev"] if warm else None
 
@@ -398,6 +423,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             opc0 = op_cols + hoist_applied if hoist else op_cols
             out = ((V, AV, m, col_ok, opc0) if not gen
                    else (V, AV, BV, m, col_ok, opc0))
+            if fused:
+                out = out + (st["H"],)
             return _tail(out, inner_ops, corr_prev)
 
         def new_block():
@@ -468,7 +495,9 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             Q, alive_q = orthogonal.orthonormalize_block(
                 V, corr, corr_mask, n_reorth=cfg.n_reorth, method=cfg.ortho,
                 precise=precise)
-            AQ = A.matmat(Q)
+            # Fused engine: AQ comes out of the fused SpMM+Gram inside
+            # expand (it needs the POST-write basis as the gram operand).
+            AQ = None if fused else A.matmat(Q)
             return Q, AQ, alive_q, (it_inner if cfg.method == "GJD"
                                     else jnp.zeros((), jnp.int32)), corr_raw
 
@@ -540,7 +569,24 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 # are the scarce HBM resource on the measured v5e). The
                 # basis stays a hole-free prefix via the live count.
                 V2 = t_write(V, Q, m)
-                AV2 = t_write(AV, AQ, m)
+                if fused:
+                    # The Davidson hot pair in ONE operator sweep: AQ
+                    # and its projection against the post-write basis,
+                    # G = V2ᵀ(AQ), computed while AQ is still in VMEM
+                    # (two-pass composition on non-Pallas backends —
+                    # same math). G's rows/columns ARE the new entries
+                    # of the carried projected matrix; columns beyond
+                    # the live count are zero (zero Q columns), exactly
+                    # matching the recomputed-Gram state.
+                    AQ2, G = A.matmat_with_gram(Q, v=V2)
+                    AV2 = t_write(AV, AQ2, m)
+                    z0 = jnp.asarray(0, jnp.int32)
+                    Hf = jax.lax.dynamic_update_slice(
+                        st["H"], G.astype(dt), (z0, m))
+                    Hf = jax.lax.dynamic_update_slice(
+                        Hf, G.T.astype(dt), (m, z0))
+                else:
+                    AV2 = t_write(AV, AQ, m)
                 ok2 = jax.lax.dynamic_update_slice(col_ok, alive_q, (m,))
                 m2 = m + live
             else:
@@ -562,6 +608,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 out = (V2, AV2, BV2, m2, ok2, charged)
             else:
                 out = (V2, AV2, m2, ok2, charged)
+            if fused:
+                out = out + (Hf,)
             return _tail(out, inner_ops + it_inner if gjd else None,
                          corr_raw)
 
@@ -614,6 +662,13 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                 out = (Vn, AVn, BVn, mn, okn, opc)
             else:
                 out = (Vn, AVn, mn, okn, opc)
+            if fused:
+                # Re-seed the carried projection from the thin restart
+                # basis (collapses are 1-in-log iterations; one full
+                # Gram here costs what the recomputed engine pays every
+                # iteration).
+                out = out + (jnp.dot(Vn.T, AVn,
+                                     preferred_element_type=dt),)
             # A collapse rotates the Ritz frame but keeps the SAME
             # lowest pairs; the previous correction stays a valid guess.
             return _tail(out, inner_ops, corr_prev)
@@ -627,6 +682,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             new, corr_new = new[:-1], new[-1]
         if gjd:
             new, inner_new = new[:-1], new[-1]
+        if fused:
+            new, H_new = new[:-1], new[-1]
         if gen:
             Vn, AVn, BVn, mn, okn, opc = new
         else:
@@ -653,6 +710,8 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
             out["inner_ops"] = inner_new
         if warm:
             out["corr_prev"] = corr_new
+        if fused:
+            out["H"] = H_new
         if precise:
             # Plateau detection (see init_state): converged pairs are
             # excluded via has_conv so sticky semantics still win. A

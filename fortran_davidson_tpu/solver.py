@@ -66,6 +66,16 @@ def eigensolve(matrix, lowest: int, second_matrix=None,
                 f"B shape {B.shape} does not match A shape {A.shape}")
 
     cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None)
+    if (opts.fused_gram == "auto" and B is None and not cfg.refined
+            and cfg.expansion == "lowest-k"
+            and jnp.dtype(cfg.dtype) == jnp.float32
+            and hasattr(A, "matmat_with_gram")):
+        # Incremental-H engine: the expand block's projection columns
+        # come from the operator's fused SpMM+Gram kernel (see
+        # DavidsonOptions.fused_gram). Capability is an operator
+        # property, so the flag resolves here, not in resolve_options.
+        import dataclasses
+        cfg = dataclasses.replace(cfg, fused_gram=True)
     X0 = validate_initial_vectors(initial_vectors, A.shape[0],
                                   cfg.init_dim, dt)
     engine = get_engine(cfg)

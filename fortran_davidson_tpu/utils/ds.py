@@ -67,12 +67,30 @@ def fast_two_sum(a, b):
 
 
 def _split(a):
-    """Dekker split into hi/lo halves of the mantissa (f32: 12+12 bits)."""
-    # 2^ceil(p/2) + 1 with p = mantissa bits (24 for f32, 53 for f64).
-    c = jnp.asarray(4097.0 if a.dtype == jnp.float32 else 134217729.0,
-                    a.dtype)
-    t = c * a
-    hi = t - (t - a)
+    """Split into hi/lo mantissa halves by BITMASKING (f32: 12+12 bits).
+
+    The classic Dekker split (``t = c*a; hi = t - (t - a)``) depends on
+    every intermediate being rounded exactly as written; compiler value
+    transformations in large fused modules were observed to corrupt it
+    on XLA:CPU at the default optimization level (two_prod error terms
+    off by ~eps·|ab|, which surfaced as in-solve polish residuals
+    fixed-pointing at eps·λ while the identical math compiled standalone
+    — or under ``--xla_backend_optimization_level=0`` — reached 1e-13).
+    Truncating the low mantissa bits via an integer mask is immune to
+    any floating-point rewrite: ``hi`` is exact by construction,
+    ``a - hi`` is exact (same exponent, trailing bits only), and the
+    split widths keep every two_prod partial product representable
+    (f32: 12+12 of the 24-bit significand; f64: 26+27 — the al*bl term
+    may round by one ulp², the standard non-FMA two_prod caveat).
+    """
+    if a.dtype == jnp.float32:
+        mask = jnp.uint32(0xFFFFF000)          # drop 12 low mantissa bits
+        hi = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(a, jnp.uint32) & mask, a.dtype)
+    else:
+        mask = jnp.uint64(0xFFFFFFFFF8000000)  # drop 27 low mantissa bits
+        hi = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(a, jnp.uint64) & mask, a.dtype)
     return hi, a - hi
 
 
@@ -232,6 +250,13 @@ def ds_sum_tree(x, axis: int = 0, lo=None) -> DS:
     hi = x
     lo = (jnp.zeros_like(x) if lo is None
           else jnp.moveaxis(jnp.asarray(lo), axis, 0))
+    # Pair CONTIGUOUS halves, not strided even/odd rows: any pairing is
+    # an error-free transform of the same sum (every rounding lands in
+    # the lo channel), but the strided hi[0::2]/hi[1::2] form was
+    # observed MISCOMPILED by XLA:CPU's default optimization level when
+    # fused into a large module (in-solve polish residuals corrupted at
+    # eps·λ; --xla_backend_optimization_level=0 or the cascade strategy
+    # both fixed it). Contiguous slices avoid that fusion path.
     while hi.shape[0] > 1:
         k = hi.shape[0]
         half = (k + 1) // 2
@@ -239,9 +264,9 @@ def ds_sum_tree(x, axis: int = 0, lo=None) -> DS:
         if pad:
             hi = jnp.concatenate([hi, jnp.zeros_like(hi[:1])])
             lo = jnp.concatenate([lo, jnp.zeros_like(lo[:1])])
-        s, e = two_sum(hi[0::2], hi[1::2])
+        s, e = two_sum(hi[:half], hi[half:])
         hi = s
-        lo = lo[0::2] + lo[1::2] + e
+        lo = lo[:half] + lo[half:] + e
     return DS(*fast_two_sum(hi[0], lo[0]))
 
 
@@ -290,15 +315,16 @@ def _tall_sum_tree(x, lo) -> DS:
             n = n + pad
         hi2 = x.reshape(n // g, g * mp)
         lo2 = lo.reshape(n // g, g * mp)
+        # Contiguous-half pairing — see ds_sum_tree for why not [0::2].
         while hi2.shape[0] > 1:
             kk = hi2.shape[0]
             half = (kk + 1) // 2
             if half * 2 - kk:
                 hi2 = jnp.concatenate([hi2, jnp.zeros_like(hi2[:1])])
                 lo2 = jnp.concatenate([lo2, jnp.zeros_like(lo2[:1])])
-            s, e = two_sum(hi2[0::2], hi2[1::2])
+            s, e = two_sum(hi2[:half], hi2[half:])
             hi2 = s
-            lo2 = lo2[0::2] + lo2[1::2] + e
+            lo2 = lo2[:half] + lo2[half:] + e
         s = hi2[0].reshape(g, mp)
         e = lo2[0].reshape(g, mp)
         hi_acc, lo_acc = s[0], e[0]
