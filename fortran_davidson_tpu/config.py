@@ -174,12 +174,16 @@ class DavidsonOptions:
         iteration after CSE; see docs/ROADMAP.md "Layout wall") never
         appear in the graph. Every consumer contracts with the same
         per-element order, so trajectories are BIT-IDENTICAL to the
-        flat layout (tests pin this). Requires ``refined=True``;
-        single-device engines only (the GSPMD sharded path keeps flat
-        row-sharded carries). ``"auto"`` (default) picks ``"chunked"``
-        whenever those requirements hold and the row count admits a
-        useful chunk — measured 111 -> 75 ms/iter (1.48x) on the
-        10M-row refined north star on v5e.
+        flat layout (tests pin this). Requires ``refined=True``. Under
+        the GSPMD sharded engine (round 5) chunks are sized to divide
+        the per-shard row count so the chunked carries row-shard on
+        chunk boundaries — bit-identical to flat sharding whenever the
+        default chunk already divides the shard (otherwise the smaller
+        shard-aligned chunk changes bits, same accuracy class).
+        ``"auto"`` (default) picks ``"chunked"`` whenever the
+        requirements hold and the row count admits a useful chunk —
+        measured 111 -> 75 ms/iter (1.48x) on the 10M-row refined north
+        star on v5e.
       fused_gram: ``"auto"`` (default) lets the solver use the
         incremental-H engine when the operator exposes a fused
         SpMM+Gram (``matmat_with_gram`` — the banded/quantized BSR
@@ -376,29 +380,34 @@ def validate_initial_vectors(initial_vectors, n: int, init_dim: int,
     return X0
 
 
-def _resolve_carry_layout(opts: DavidsonOptions, n: int,
-                          sharded: bool) -> str:
+def _resolve_carry_layout(opts: DavidsonOptions, n: int, sharded: bool,
+                          shard_row_divisor: int = 1) -> str:
     """Resolve ``carry_layout="auto"`` against the concrete problem.
 
     Chunked wins (measured 1.48x per refined iteration at 10M rows on
     v5e) whenever its requirements hold: the refined compensated-Gram
-    pipeline with CholeskyQR2 on a single-device engine, and a row
-    count whose largest power-of-two chunk divisor is big enough that
-    the batched Gram einsum stays MXU-shaped (a prime-ish n would
-    degrade the chunk toward 1 row and serialize the reduction).
+    pipeline with CholeskyQR2, and a row count whose largest
+    power-of-two chunk divisor is big enough that the batched Gram
+    einsum stays MXU-shaped (a prime-ish n would degrade the chunk
+    toward 1 row and serialize the reduction). Round 5: the GSPMD
+    engine qualifies too — chunks are sized to divide the per-shard row
+    count (``utils.ds._chunk_sharded``), so the (n/c, c, m) carries
+    row-shard on chunk boundaries and the layout win reaches the pod
+    path.
     """
     if opts.carry_layout != "auto":
         return str(opts.carry_layout)
-    from fortran_davidson_tpu.utils.ds import _chunk
+    from fortran_davidson_tpu.utils.ds import _chunk_sharded
     if (opts.refined and opts.orthonormalization == "cholqr2"
-            and not sharded and _chunk(n, None) >= 256):
+            and _chunk_sharded(n, shard_row_divisor if sharded else 1)
+            >= 256):
         return "chunked"
     return "flat"
 
 
 def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
-                    generalized: bool, sharded: bool = False
-                    ) -> ResolvedConfig:
+                    generalized: bool, sharded: bool = False,
+                    shard_row_divisor: int = 1) -> ResolvedConfig:
     require(1 <= lowest, InvalidOptionsError, "lowest must be >= 1")
     cheb_auto = opts.cheb_degree == "auto"
     cheb_on = cheb_auto or opts.cheb_degree >= 2
@@ -462,7 +471,8 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
         cheb_auto=cheb_auto,
         final_polish=int(opts.final_polish),
         polish_update=opts.polish_update,
-        carry_layout=_resolve_carry_layout(opts, n, sharded),
+        carry_layout=_resolve_carry_layout(opts, n, sharded,
+                                           shard_row_divisor),
     )
 
 

@@ -118,9 +118,12 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
         # Store the tall carries pre-chunked as (n/c, c, m_max) — the
         # layout the compensated Gram consumes — so the per-iteration
         # relayout copies never exist (see DavidsonOptions.carry_layout).
-        # c matches gram_ds's default chunk for bit-identical reductions.
-        from fortran_davidson_tpu.utils.ds import _chunk
-        c = _chunk(n, None)
+        # c matches gram_ds's default chunk for bit-identical reductions
+        # (single device); under GSPMD row sharding c additionally
+        # divides the per-shard row count so chunks never straddle
+        # shards (see utils.ds._chunk_sharded).
+        from fortran_davidson_tpu.utils.ds import _chunk_sharded
+        c = _chunk_sharded(n, getattr(constrain, "row_divisor", 1) or 1)
         V0 = V0.reshape(n // c, c, m_max)
         AV0 = AV0.reshape(n // c, c, m_max)
         BV0 = None if BV0 is None else BV0.reshape(n // c, c, m_max)
@@ -210,12 +213,14 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
 
     chunked = cfg.carry_layout == "chunked"
     if chunked:
-        if constrain is not None:
-            raise ValueError(
-                "carry_layout='chunked' is single-device only: the GSPMD "
-                "sharded engine keeps flat row-sharded carries")
-        from fortran_davidson_tpu.utils.ds import _chunk
-        c_carry = _chunk(n, None)
+        # Round 5: the GSPMD engine runs chunked too — chunks are sized
+        # to divide the per-shard row count (whole chunks per device),
+        # so the (n/c, c, m) leading axis row-shards cleanly and the
+        # compensated Gram consumes local chunks + the same psum'd
+        # two_sum tree as the flat layout.
+        from fortran_davidson_tpu.utils.ds import _chunk_sharded
+        c_carry = _chunk_sharded(n, getattr(constrain, "row_divisor", 1)
+                                 or 1)
 
     def t_chunk(X):
         """Flat (n, b) -> carry layout (free on the flat layout)."""

@@ -50,17 +50,30 @@ _SHARDED_STATE_KEYS = ("V", "AV", "BV", "evecs", "corr_prev")
 
 @dataclasses.dataclass(frozen=True)
 class RowShardConstraint:
-    """Hashable state hook: pin row-sharded layouts on the tall loop state."""
+    """Hashable state hook: pin row-sharded layouts on the tall loop state.
+
+    Rank-aware: flat carries are ``(n, m)``; chunked carries are
+    ``(n/c, c, m)`` with the leading axis still the (chunk-granular) row
+    axis — both get ``P(rows, None, ...)``.
+    """
 
     mesh: Mesh
     axis: str = ROWS_AXIS
+
+    @property
+    def row_divisor(self) -> int:
+        """Device count along the row axis (chunked carries size their
+        chunks to divide the per-shard row count — see core.loop)."""
+        return int(self.mesh.shape[self.axis])
 
     def __call__(self, state: dict) -> dict:
         out = dict(state)
         for key in _SHARDED_STATE_KEYS:
             if key in out:
-                sh = NamedSharding(self.mesh, P(self.axis, None))
-                out[key] = jax.lax.with_sharding_constraint(out[key], sh)
+                arr = out[key]
+                sh = NamedSharding(
+                    self.mesh, P(self.axis, *([None] * (arr.ndim - 1))))
+                out[key] = jax.lax.with_sharding_constraint(arr, sh)
         return out
 
 
@@ -171,7 +184,8 @@ def eigensolve_sharded(matrix, lowest: int, mesh: Mesh, second_matrix=None,
                 f"B shape {B.shape} does not match A shape {A.shape}")
 
     cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None,
-                          sharded=True)
+                          sharded=True,
+                          shard_row_divisor=int(mesh.shape[axis]))
     X0 = validate_initial_vectors(initial_vectors, A.shape[0],
                                   cfg.init_dim, dt)
     if X0 is not None:

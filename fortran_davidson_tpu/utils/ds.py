@@ -344,6 +344,21 @@ def _chunk(n: int, chunk: Optional[int]) -> int:
     return max(chunk, 1)
 
 
+def _chunk_sharded(n: int, row_divisor: int) -> int:
+    """Chunk size that also divides the per-shard row count.
+
+    Row-sharded chunked carries need every (c-row) chunk to live whole
+    inside one shard: with ``n`` rows over ``row_divisor`` devices, ``c``
+    must divide ``n // row_divisor`` so the (n/c, c, m) layout's leading
+    axis partitions on chunk boundaries.
+    """
+    c = _chunk(n, None)
+    local = n // max(row_divisor, 1)
+    while c > 1 and local % c:
+        c //= 2
+    return c
+
+
 def gram_ds(V, W=None, *, chunk: Optional[int] = None) -> DS:
     """Compensated Gram matrix ``V^T W`` (W defaults to V) as a DS pair.
 

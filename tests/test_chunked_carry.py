@@ -170,30 +170,39 @@ class TestValidation:
             DavidsonOptions(carry_layout="chunked", refined=True,
                             orthonormalization="qr")
 
-    def test_sharded_rejects_chunked(self):
+    def test_sharded_accepts_chunked(self):
+        # Round 5 lifted the single-device restriction: the GSPMD engine
+        # runs chunked carries with shard-aligned chunks (whole chunks
+        # per device). A small solve must run, not raise.
         from fortran_davidson_tpu.parallel import eigensolve_sharded
         from fortran_davidson_tpu.parallel.mesh import default_mesh
         op = surrogate_hamiltonian(2048, dtype=jnp.float32)
-        with pytest.raises(ValueError, match="single-device"):
-            eigensolve_sharded(op, 2, default_mesh(8), dtype="float32",
-                               refined=True, carry_layout="chunked",
-                               tolerance=1e-3)
+        res = eigensolve_sharded(op, 2, default_mesh(8), dtype="float32",
+                                 refined=True, carry_layout="chunked",
+                                 tolerance=1e-3, max_iterations=30)
+        assert bool(res.converged)
 
 
 def test_auto_carry_layout_resolution():
     """``carry_layout="auto"`` (the default) resolves to chunked exactly
     when the chunked engine's requirements hold: refined + cholqr2 +
-    single-device + a usable power-of-two chunk divisor of n."""
+    a usable power-of-two chunk divisor of n (per-shard under GSPMD)."""
     from fortran_davidson_tpu.config import resolve_options
 
-    def layout(opts, n=100_096, sharded=False):
-        return resolve_options(opts, 3, n, False,
-                               sharded=sharded).carry_layout
+    def layout(opts, n=100_096, sharded=False, div=1):
+        return resolve_options(opts, 3, n, False, sharded=sharded,
+                               shard_row_divisor=div).carry_layout
 
     assert layout(DavidsonOptions(refined=True)) == "chunked"
     assert layout(DavidsonOptions()) == "flat"                # not refined
+    # Round 5: the GSPMD engine runs chunked too, with shard-aligned
+    # chunks — n=100_096 over 8 shards leaves a 12512-row shard whose
+    # largest power-of-two chunk divisor is 32 (< 256): stay flat; a
+    # shard-friendly n goes chunked.
     assert layout(DavidsonOptions(refined=True),
-                  sharded=True) == "flat"                     # GSPMD path
+                  sharded=True, div=8) == "flat"
+    assert layout(DavidsonOptions(refined=True), n=65536,
+                  sharded=True, div=8) == "chunked"
     assert layout(DavidsonOptions(refined=True,
                                   orthonormalization="qr")) == "flat"
     # A prime-ish n degrades the chunk divisor toward 1 row: stay flat.
@@ -214,3 +223,57 @@ def test_auto_default_solves_chunked_bit_identical():
     auto = eigensolve(A, 3, **kw)              # default carry_layout="auto"
     flat = eigensolve(A, 3, carry_layout="flat", **kw)
     _assert_bit_identical(flat, auto)
+
+
+class TestShardedChunkedCarries:
+    """Round-5: the GSPMD engine runs the chunked carry layout too.
+
+    At n where the default chunk divides the per-shard row count, every
+    Gram in the pipeline chunks identically in both layouts, so the
+    sharded chunked trajectory is BIT-IDENTICAL to the sharded flat one
+    — the same contract the single-device engine pins."""
+
+    def test_sharded_chunked_bit_parity_vs_flat(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from fortran_davidson_tpu.models.generators import \
+            surrogate_hamiltonian
+        from fortran_davidson_tpu.parallel import (default_mesh,
+                                                   eigensolve_sharded)
+
+        n = 65536  # chunk 4096 divides n/8 = 8192: bitwise-comparable
+        op = surrogate_hamiltonian(n, dtype=jnp.float32)
+        mesh = default_mesh(8)
+        common = dict(method="DPR", tolerance=1e-6,
+                      relative_tolerance=True, max_iterations=25,
+                      dtype="float32", expansion="lowest-k", refined=True)
+        flat = eigensolve_sharded(op, 3, mesh, carry_layout="flat",
+                                  **common)
+        chunked = eigensolve_sharded(op, 3, mesh, carry_layout="chunked",
+                                     **common)
+        assert int(flat.iterations) == int(chunked.iterations)
+        np.testing.assert_array_equal(np.asarray(flat.eigenvalues),
+                                      np.asarray(chunked.eigenvalues))
+        np.testing.assert_array_equal(np.asarray(flat.residual_norms),
+                                      np.asarray(chunked.residual_norms))
+        np.testing.assert_array_equal(np.asarray(flat.eigenvectors),
+                                      np.asarray(chunked.eigenvectors))
+
+    def test_sharded_chunked_with_polish_converges(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from fortran_davidson_tpu.ops.sparse import generate_banded_bsr
+        from fortran_davidson_tpu.parallel import (default_mesh,
+                                                   eigensolve_sharded)
+
+        bsr = generate_banded_bsr(64, 16, bandwidth=1, coupling=1e-3,
+                                  dtype=jnp.float32)
+        mesh = default_mesh(8)
+        res = eigensolve_sharded(bsr, 3, mesh, method="DPR",
+                                 tolerance=1e-8, relative_tolerance=True,
+                                 dtype="float32", expansion="lowest-k",
+                                 refined=True, final_polish=3,
+                                 carry_layout="chunked",
+                                 max_iterations=60)
+        assert bool(res.converged)
+        assert float(np.max(np.asarray(res.residual_norms))) < 1e-8
