@@ -547,10 +547,12 @@ def bench_northstar_10m():
     """The literal BASELINE north star on ONE chip: lowest-20 of a
     10M-row diagonal-dominant operator to honest 1e-8 (relative), via
     the progressive recipe (plain f32 floor solve warm-starts the
-    refined+polished solve). max_dim_sub=44 is the single-chip basis
-    shape (wider collapses transiently double the tall carries past
-    16 GB HBM). Requires the round-4 DS operator apply: the f32 apply's
-    output rounding alone floors true residuals at ~1.4e-8 here."""
+    refined+polished solve). No basis-width flag (round 5): the default
+    resolver's memory clamp lands on the measured single-chip basis
+    shape (44 — wider collapses transiently double the tall carries past
+    16 GB HBM; tests/test_auto_width.py pins the resolution). Requires
+    the round-4 DS operator apply: the f32 apply's output rounding alone
+    floors true residuals at ~1.4e-8 here."""
     import numpy as np
 
     from fortran_davidson_tpu import eigensolve
@@ -560,7 +562,7 @@ def bench_northstar_10m():
     n, k = (10_000_384, 20) if on_tpu else (200_192, 6)
     op = surrogate_hamiltonian(n, dtype=jnp.float32)
     loose = dict(method="DPR", tolerance=1e-3, relative_tolerance=True,
-                 dtype="float32", expansion="lowest-k", max_dim_sub=44,
+                 dtype="float32", expansion="lowest-k",
                  max_iterations=30)
     kw = dict(loose, tolerance=1e-8, refined=True, final_polish=3,
               max_iterations=120)

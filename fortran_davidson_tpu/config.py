@@ -34,7 +34,18 @@ class DavidsonOptions:
       max_iterations: outer-iteration cap.
       tolerance: 2-norm residual tolerance per eigenpair.
       max_dim_sub: maximum subspace dimension before collapse
-        (default ``10 * lowest``).
+        (default ``10 * lowest``, reference ``src/davidson.f90:115-119``).
+        At large row counts the default is additionally clamped so the
+        tall carries fit the per-device HBM budget
+        (``FDT_CARRY_BUDGET_BYTES``, default 12 GB — v5e-calibrated):
+        round 4 measured that ``eigensolve(op, 20)`` at 10M rows with an
+        unclamped 200-wide default simply cannot allocate its carries,
+        and that the widest basis that DOES fit one chip (``44``) also
+        converges 1.5x faster than the next-narrower lattice point (16
+        vs 25 refined iterations). The clamp descends the 4-wide lattice
+        from ``10 * lowest`` and floors at ``init_dim + 4`` (the
+        expansion must still fire) — at 10M/f32/k=20 it resolves to
+        exactly that measured 44 with no flags.
       init_dim: initial subspace dimension (default ``2 * lowest``).
       sticky_convergence: if True, a pair that once converged stays
         converged (dense-engine semantics, ``src/davidson.f90:173-178``);
@@ -359,6 +370,60 @@ def subspace_cap(init_dim: int, max_dim: int, step: Optional[int] = None) -> int
     return cap
 
 
+def _carry_budget_bytes() -> int:
+    """Per-device HBM budget for the solver's tall working set.
+
+    Default 12 GB: one v5e chip's 16 GB minus headroom for the operator
+    itself, the runtime, and XLA scratch. Override with
+    ``FDT_CARRY_BUDGET_BYTES`` (e.g. raise it on v5p/v6e, lower it when
+    a large operator shares the chip).
+    """
+    import os
+    return int(float(os.environ.get("FDT_CARRY_BUDGET_BYTES", 12e9)))
+
+
+def _memory_clamped_max_dim(max_dim: int, *, n_local: int, lowest: int,
+                            init_dim: int, step: Optional[int],
+                            itemsize: int, generalized: bool) -> int:
+    """Clamp the DEFAULT ``max_dim`` so the tall carries fit HBM.
+
+    Footprint model (deliberately conservative): the engine carries
+    ``V`` and ``AV`` (plus ``BV`` when generalized) at the padded width
+    ``m_max``; a basis collapse transiently doubles them (old + new
+    panel live across the ``dynamic_update_slice``); and roughly
+    ``8 * lowest`` further n-length columns exist at any time (Ritz
+    block, residuals, corrections, polish scratch)::
+
+        bytes(max_dim) ~ itemsize * n_local
+                         * (2 * n_carries * m_max + 8 * lowest)
+
+    The clamp descends the 4-wide lattice from the 10*k default until
+    the model fits the budget, flooring at ``init_dim + 4`` so the
+    expansion schedule can still fire (a ``max_dim == init_dim`` basis
+    collapses every other iteration — measured 25 vs 16 iterations at
+    the 10M north star, docs/BENCHMARKS.md round 4). The floor itself
+    was validated on hardware: ``max_dim_sub=44`` (= 2*20 + 4) is the
+    widest lowest-20 basis that fits one v5e chip at 10M rows, and the
+    model's residual overshoot there is the transient-doubling term,
+    which XLA's buffer reuse makes briefer than the model assumes.
+    """
+    n_carries = 3 if generalized else 2
+    aux = 8 * lowest
+
+    def fits(md: int) -> bool:
+        m_max = subspace_cap(init_dim, md, step)
+        return (itemsize * n_local * (2 * n_carries * m_max + aux)
+                <= _carry_budget_bytes())
+
+    floor = init_dim + 4
+    if max_dim <= floor or fits(max_dim):
+        return max_dim
+    md = max_dim - (max_dim % 4 or 4)
+    while md > floor and not fits(md):
+        md -= 4
+    return max(md, floor)
+
+
 def validate_initial_vectors(initial_vectors, n: int, init_dim: int,
                              dtype):
     """Validated (n, j) warm-start block as an array of ``dtype``.
@@ -433,6 +498,16 @@ def resolve_options(opts: DavidsonOptions, lowest: int, n: int,
         while max_dim > init_dim and subspace_cap(init_dim, max_dim,
                                                   step) > n:
             max_dim //= 2
+        # ... and so the tall carries fit the per-device HBM budget at
+        # large n (round 5 — see the max_dim_sub attribute docs; the
+        # small-n parity schedules above are never touched: the memory
+        # clamp only fires when the footprint model exceeds ~12 GB).
+        max_dim = _memory_clamped_max_dim(
+            max_dim, n_local=n // max(shard_row_divisor if sharded else 1,
+                                      1),
+            lowest=lowest, init_dim=init_dim, step=step,
+            itemsize=jnp.dtype(opts.dtype).itemsize,
+            generalized=generalized)
     m_max = subspace_cap(init_dim, max_dim, step)
     require(m_max <= n, InvalidOptionsError,
             f"padded subspace width {m_max} exceeds matrix dimension {n}; "
