@@ -773,10 +773,15 @@ def _ds_strategy(constrain):
     Single-device engines use the streaming slab cascade; GSPMD-sharded
     engines (constrain pins row shardings) need the tree — the cascade's
     dynamic row slices would make the partitioner gather across shards
-    every loop step. See ``utils.ds.sum_strategy``.
+    every loop step — with SHARD-LOCAL pairing (row_divisor): the tree
+    folds each device's rows locally and only (D, width) partials cross
+    the mesh. See ``utils.ds.sum_strategy`` / ``_fold_leading``.
     """
     from fortran_davidson_tpu.utils import ds as dsm
-    return dsm.sum_strategy("tree" if constrain is not None else "cascade")
+    if constrain is None:
+        return dsm.sum_strategy("cascade")
+    return dsm.sum_strategy(
+        "tree", row_divisor=getattr(constrain, "row_divisor", 1) or 1)
 
 
 def _apply_final_polish(cfg: ResolvedConfig, A: LinearOperator,

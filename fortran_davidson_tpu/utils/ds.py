@@ -173,6 +173,22 @@ def ds_sqrt(x: DS) -> DS:
 _SUM_STRATEGY: contextvars.ContextVar = contextvars.ContextVar(
     "ds_sum_strategy", default="cascade")
 
+# Device count along the sharded row axis (1 = unsharded). Under GSPMD
+# the tree reductions reshape their leading axis to (D, rows/D, ...) and
+# pair WITHIN axis 1 only: every tree level is then elementwise on
+# shard-local rows, and only the final (D, width) partial crosses the
+# mesh. Without this, the contiguous-halves pairing folds the top half
+# of a row-sharded array onto the bottom half — the first level alone
+# permutes HALF THE ARRAY across devices (measured: ~10.7 MB of n-scale
+# collective-permute per sharded iteration at n=16k, growing linearly
+# with n; shard-local pairing leaves only the n-independent halo + Gram
+# collectives). Error-free transform: any pairing order carries its
+# roundings in the lo channel, so the accuracy class is unchanged (bits
+# differ from the D=1 order; sharded-vs-single-device trajectory tests
+# compare iteration counts, not bits).
+_ROW_DIVISOR: contextvars.ContextVar = contextvars.ContextVar(
+    "ds_row_divisor", default=1)
+
 # Slab rows per cascade step. Big enough that the ~150-step loop
 # amortizes XLA loop overhead at n=10M; small enough that the (B, k)
 # accumulator pair stays comfortably in VMEM-scale working sets.
@@ -183,20 +199,25 @@ _CASCADE_MIN_ROWS = 4 * _CASCADE_SLAB
 
 
 @contextlib.contextmanager
-def sum_strategy(name: str):
+def sum_strategy(name: str, row_divisor: int = 1):
     """Select the tall-reduction strategy for code traced in this scope.
 
     ``"cascade"`` (single-device streaming loop) or ``"tree"``
-    (GSPMD-safe log-depth tree). Trace-time: wrap the ``jax.jit`` CALL
-    that traces the consuming code, not the runtime execution.
+    (GSPMD-safe log-depth tree). ``row_divisor`` > 1 additionally makes
+    the tree reductions pair shard-locally and the chunked Grams size
+    their chunks to divide the per-shard row count (see
+    ``_ROW_DIVISOR``). Trace-time: wrap the ``jax.jit`` CALL that
+    traces the consuming code, not the runtime execution.
     """
     if name not in ("cascade", "tree"):
         raise ValueError(f"unknown ds sum strategy {name!r}")
     token = _SUM_STRATEGY.set(name)
+    token_d = _ROW_DIVISOR.set(max(int(row_divisor), 1))
     try:
         yield
     finally:
         _SUM_STRATEGY.reset(token)
+        _ROW_DIVISOR.reset(token_d)
 
 
 def _use_cascade(n: int) -> bool:
@@ -237,6 +258,58 @@ def _cascade_fold(slab_fn, n: int, width: int, dtype, B: int) -> DS:
 def _slice(x, start, size):
     return jax.lax.dynamic_slice_in_dim(x, start, size, axis=0)
 
+def _fold_leading(hi, lo):
+    """Two_sum tree-fold of axis 0 down to one entry (no final renorm).
+
+    Pairs CONTIGUOUS halves, not strided even/odd rows: any pairing is
+    an error-free transform of the same sum (every rounding lands in
+    the lo channel), but the strided hi[0::2]/hi[1::2] form was
+    observed MISCOMPILED by XLA:CPU's default optimization level when
+    fused into a large module (in-solve polish residuals corrupted at
+    eps·λ; --xla_backend_optimization_level=0 or the cascade strategy
+    both fixed it). Contiguous slices avoid that fusion path.
+
+    Under GSPMD row sharding (``_ROW_DIVISOR`` D > 1, leading axis
+    divisible by D) the fold is SHARD-LOCAL: reshape to (D, r/D, ...),
+    tree WITHIN axis 1 (pure elementwise on each device's rows), then an
+    exact sequential cascade over the D per-shard partials — only the
+    (D, width) partial ever crosses the mesh. The naive halves pairing
+    would instead permute half the array across devices at the first
+    level alone (see ``_ROW_DIVISOR``).
+    """
+    D = _ROW_DIVISOR.get()
+    r = hi.shape[0]
+    if D > 1 and r >= D and r % D == 0:
+        hi = hi.reshape(D, r // D, *hi.shape[1:])
+        lo = lo.reshape(D, r // D, *lo.shape[1:])
+        while hi.shape[1] > 1:
+            k = hi.shape[1]
+            half = (k + 1) // 2
+            if half * 2 - k:
+                z = jnp.zeros_like(hi[:, :1])
+                hi = jnp.concatenate([hi, z], axis=1)
+                lo = jnp.concatenate([lo, z], axis=1)
+            s, e = two_sum(hi[:, :half], hi[:, half:])
+            hi = s
+            lo = lo[:, :half] + lo[:, half:] + e
+        hi, lo = hi[:, 0], lo[:, 0]
+        h_acc, l_acc = hi[0], lo[0]
+        for i in range(1, D):  # exact cascade over per-shard partials
+            h_acc, err = two_sum(h_acc, hi[i])
+            l_acc = l_acc + lo[i] + err
+        return h_acc, l_acc
+    while hi.shape[0] > 1:
+        k = hi.shape[0]
+        half = (k + 1) // 2
+        if half * 2 - k:
+            hi = jnp.concatenate([hi, jnp.zeros_like(hi[:1])])
+            lo = jnp.concatenate([lo, jnp.zeros_like(lo[:1])])
+        s, e = two_sum(hi[:half], hi[half:])
+        hi = s
+        lo = lo[:half] + lo[half:] + e
+    return hi[0], lo[0]
+
+
 def ds_sum_tree(x, axis: int = 0, lo=None) -> DS:
     """Exact-compensated sum along ``axis`` via a two_sum binary tree.
 
@@ -245,29 +318,13 @@ def ds_sum_tree(x, axis: int = 0, lo=None) -> DS:
     elementwise passes over the array (total traffic ~2x the input).
     ``lo`` seeds the error channel — pass per-element exact product
     errors (two_prod) for Dot2-grade fully compensated dot products.
+    Shard-local under GSPMD (see :func:`_fold_leading`).
     """
     x = jnp.moveaxis(jnp.asarray(x), axis, 0)
     hi = x
     lo = (jnp.zeros_like(x) if lo is None
           else jnp.moveaxis(jnp.asarray(lo), axis, 0))
-    # Pair CONTIGUOUS halves, not strided even/odd rows: any pairing is
-    # an error-free transform of the same sum (every rounding lands in
-    # the lo channel), but the strided hi[0::2]/hi[1::2] form was
-    # observed MISCOMPILED by XLA:CPU's default optimization level when
-    # fused into a large module (in-solve polish residuals corrupted at
-    # eps·λ; --xla_backend_optimization_level=0 or the cascade strategy
-    # both fixed it). Contiguous slices avoid that fusion path.
-    while hi.shape[0] > 1:
-        k = hi.shape[0]
-        half = (k + 1) // 2
-        pad = half * 2 - k
-        if pad:
-            hi = jnp.concatenate([hi, jnp.zeros_like(hi[:1])])
-            lo = jnp.concatenate([lo, jnp.zeros_like(lo[:1])])
-        s, e = two_sum(hi[:half], hi[half:])
-        hi = s
-        lo = lo[:half] + lo[half:] + e
-    return DS(*fast_two_sum(hi[0], lo[0]))
+    return DS(*fast_two_sum(*_fold_leading(hi, lo)))
 
 
 def tall_sum_ds(x, lo=None) -> DS:
@@ -315,18 +372,12 @@ def _tall_sum_tree(x, lo) -> DS:
             n = n + pad
         hi2 = x.reshape(n // g, g * mp)
         lo2 = lo.reshape(n // g, g * mp)
-        # Contiguous-half pairing — see ds_sum_tree for why not [0::2].
-        while hi2.shape[0] > 1:
-            kk = hi2.shape[0]
-            half = (kk + 1) // 2
-            if half * 2 - kk:
-                hi2 = jnp.concatenate([hi2, jnp.zeros_like(hi2[:1])])
-                lo2 = jnp.concatenate([lo2, jnp.zeros_like(lo2[:1])])
-            s, e = two_sum(hi2[:half], hi2[half:])
-            hi2 = s
-            lo2 = lo2[:half] + lo2[half:] + e
-        s = hi2[0].reshape(g, mp)
-        e = lo2[0].reshape(g, mp)
+        # Contiguous-half pairing, shard-local under GSPMD — see
+        # _fold_leading for both the miscompilation note and the
+        # row-sharded (D, r/D) split.
+        hi1, lo1 = _fold_leading(hi2, lo2)
+        s = hi1.reshape(g, mp)
+        e = lo1.reshape(g, mp)
         hi_acc, lo_acc = s[0], e[0]
         for i in range(1, g):  # exact cascade over the strata (g <= 128)
             hi_acc, err = two_sum(hi_acc, s[i])
@@ -341,7 +392,17 @@ def _chunk(n: int, chunk: Optional[int]) -> int:
         chunk = 4096
     while n % chunk and chunk > 1:
         chunk //= 2
-    return max(chunk, 1)
+    chunk = max(chunk, 1)
+    # Under GSPMD row sharding the chunk must additionally divide the
+    # per-shard row count — a chunk straddling a shard boundary makes
+    # the (n, m) -> (n/c, c, m) reshape feeding the batched Gram an
+    # n-scale cross-device reshard instead of a local-block split.
+    D = _ROW_DIVISOR.get()
+    if D > 1 and n % D == 0:
+        local = n // D
+        while chunk > 1 and local % chunk:
+            chunk //= 2
+    return chunk
 
 
 def _chunk_sharded(n: int, row_divisor: int) -> int:
@@ -350,7 +411,9 @@ def _chunk_sharded(n: int, row_divisor: int) -> int:
     Row-sharded chunked carries need every (c-row) chunk to live whole
     inside one shard: with ``n`` rows over ``row_divisor`` devices, ``c``
     must divide ``n // row_divisor`` so the (n/c, c, m) layout's leading
-    axis partitions on chunk boundaries.
+    axis partitions on chunk boundaries. Equals what :func:`_chunk`
+    returns inside a ``sum_strategy(..., row_divisor=...)`` scope — this
+    form is for trace-setup code that runs outside the scope.
     """
     c = _chunk(n, None)
     local = n // max(row_divisor, 1)
