@@ -9,11 +9,22 @@ users migrating a scipy workflow get the same call shape here:
 
 Supported: symmetric/Hermitian-real operators (dense arrays,
 ``scipy.sparse`` matrices, any :class:`LinearOperator` of this package),
-generalized pencils via ``M``, ``which in ("SA", "LA")`` (largest via
-the spectral flip -A), ``v0`` warm starts, ``maxiter``/``tol``/``ncv``.
-Shift-invert (``sigma``) is not implemented — Davidson targets edge
-eigenpairs without factorizations; pass a preconditioned GJD solve
-through :func:`fortran_davidson_tpu.eigensolve` instead.
+generalized pencils via ``M``, ``which in ("SA", "LA", "LM", "SM")``,
+``sigma`` interior targets, ``v0`` warm starts,
+``maxiter``/``tol``/``ncv``.
+
+Largest-algebraic ("LA") solves ride the spectral flip -A;
+largest-magnitude ("LM") merges both spectrum ends. Interior targets
+(``sigma``, and "SM" = sigma 0) use the SPECTRAL FOLD rather than
+scipy's shift-invert: Davidson runs on ``(A - σ)²`` — two operator
+applies per block, no factorization or linear solves, so the transform
+is matrix-free- and TPU-native (shift-invert's sparse LU has no
+efficient TPU analogue). Eigenvalues are recovered as Rayleigh
+quotients of the returned vectors and every pair is re-checked against
+the TRUE residual ``||A x - λ x||``, with warm-started re-solves at
+tightened fold tolerances until the user's ``tol`` holds — folding
+squares the spectrum, so the honest convergence contract lives on the
+unfolded residual, not the folded solve's.
 """
 
 from __future__ import annotations
@@ -63,7 +74,93 @@ class _Negated(LinearOperator):
         return cls(children[0])
 
 
-def eigsh(A, k: int = 6, M=None, sigma=None, which: str = "SA",
+@jax.tree_util.register_pytree_node_class
+class _ShiftFolded(LinearOperator):
+    """The spectral fold ``(A - σI)²``: eigenvalues ``(λ - σ)²``, SAME
+    eigenvectors — the smallest folded eigenvalues belong to the λ
+    nearest σ. Two applies of A per block, no factorization.
+
+    ``diagonal()`` returns the diagonal-dominant approximation
+    ``(d - σ)²`` (the exact ``diag((A-σ)²)`` needs row sum-squares the
+    generic operator cannot provide). The solver uses the diagonal only
+    as the DPR/GJD preconditioner, and the generic ``offdiag`` fallback
+    computes ``matmat(x) - diagonal()·x`` — self-consistent, so
+    residuals and Rayleigh quotients on the folded operator stay exact
+    regardless of the approximation.
+    """
+
+    def __init__(self, op: LinearOperator, sigma):
+        self._op = op
+        self._sigma = sigma
+
+    @property
+    def shape(self):
+        return self._op.shape
+
+    @property
+    def dtype(self):
+        return self._op.dtype
+
+    def matmat(self, block):
+        y = self._op.matmat(block) - self._sigma * block
+        return self._op.matmat(y) - self._sigma * y
+
+    def diagonal(self):
+        return (self._op.diagonal() - self._sigma) ** 2
+
+    def tree_flatten(self):
+        return (self._op, self._sigma), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _folded_solve(op, k, sigma, tol, kw):
+    """Davidson on the fold + honest unfolded convergence contract.
+
+    Solves lowest-k of ``(A-σ)²`` at a fold tolerance, recovers
+    ``λ_j = x_jᵀ A x_j`` and TRUE residuals ``||A x - λ x||``, and
+    re-solves warm-started at tightened fold tolerances until the true
+    residuals meet ``tol`` (folding squares the spectrum, so no single
+    fold tolerance maps onto the user's bound a priori).
+    """
+    fold = _ShiftFolded(op, jnp.asarray(sigma, op.dtype))
+    kw = dict(kw)
+    kw.pop("tolerance", None)
+    x0 = kw.pop("initial_vectors", None)
+    res = None
+    fold_tol = float(tol)
+    # Every folded eigenvalue is a (near-)double — λ = σ±δ fold to the
+    # same (δ²) level — so the k-th folded vector can capture only HALF
+    # of a pair, mixing two A-eigenvectors. One extra column keeps the
+    # boundary pair whole; the k pairs nearest σ are selected after the
+    # Rayleigh-Ritz below.
+    k_f = min(k + 1, op.shape[0])
+    for _ in range(4):
+        res = eigensolve(fold, k_f, tolerance=fold_tol,
+                         initial_vectors=x0, **kw)
+        X = jnp.asarray(res.eigenvectors)
+        # Rayleigh-Ritz of A (not the fold) on the folded subspace:
+        # within each near-degenerate folded pair the individual
+        # eigenvectors are arbitrary rotations mixing the two
+        # A-eigenvectors. The SPAN is still right; diagonalizing
+        # Q^T A Q over it separates them.
+        Q = jnp.linalg.qr(X)[0]
+        AQ = op.matmat(Q)
+        theta, U = jnp.linalg.eigh(Q.T @ AQ)
+        X, AX = Q @ U, AQ @ U
+        r = jnp.linalg.norm(AX - X * theta[None, :], axis=0)
+        near = jnp.argsort(jnp.abs(theta - sigma))[:k]
+        near = near[jnp.argsort(theta[near])]  # ascending, scipy order
+        if bool(jnp.all(r[near] <= tol)):
+            return (np.asarray(theta[near]), np.asarray(X[:, near]),
+                    np.asarray(r[near]))
+        x0, fold_tol = X, fold_tol * 1e-2
+    raise ArpackNoConvergence(res, k)
+
+
+def eigsh(A, k: int = 6, M=None, sigma=None, which: Optional[str] = None,
           v0=None, ncv: Optional[int] = None, maxiter: Optional[int] = None,
           tol: float = 0.0, return_eigenvectors: bool = True,
           dtype=None, **overrides):
@@ -77,10 +174,17 @@ def eigsh(A, k: int = 6, M=None, sigma=None, which: str = "SA",
         package's operators, callables are NOT guessed — wrap those in
         :class:`MatrixFreeOperator`).
       k: number of eigenpairs.
-      which: "SA" (smallest algebraic — the Davidson native target) or
+      which: "SA" (smallest algebraic — the Davidson native target),
         "LA" (largest algebraic, solved as the smallest of -A; with a
         pencil the flip is applied to A only, which preserves the
-        generalized eigenvectors and negates the eigenvalues).
+        generalized eigenvectors and negates the eigenvalues),
+        "LM" (largest magnitude: both spectrum ends solved, k largest
+        |λ| kept), or "SM" (smallest magnitude: the spectral fold at
+        σ=0 — standard problems only).
+      sigma: interior target — the k eigenpairs nearest ``sigma`` via
+        the spectral fold ``(A-σ)²`` (see module docstring; standard
+        problems only; ``which`` must be "LM", scipy's shift-invert
+        default, meaning nearest-σ).
       v0: (n,) or (n, j) warm-start vector(s).
       ncv: maximum working-subspace dimension (``max_dim_sub``).
       maxiter: outer-iteration cap (default: the solver's 1000).
@@ -93,19 +197,16 @@ def eigsh(A, k: int = 6, M=None, sigma=None, which: str = "SA",
     Returns eigenvalues ascending (scipy's eigsh order) and, when
     requested, the corresponding eigenvectors.
     """
-    require(sigma is None, InvalidOptionsError,
-            "sigma (shift-invert) is not implemented: Davidson targets "
-            "edge eigenpairs without factorizations — use "
-            "eigensolve(..., method='GJD', gjd_preconditioner='dpr') "
-            "for interior-hardened solves")
-    require(which in ("SA", "LA"), InvalidOptionsError,
-            f"which={which!r} not supported (use 'SA' or 'LA'; 'SM'/'LM' "
-            "magnitude targets need shift-invert)")
+    if which is None:
+        # scipy's default is "LM"; without sigma the Davidson-native
+        # smallest-algebraic is this package's default, with sigma the
+        # nearest-σ reading is the only sensible one.
+        which = "LM" if sigma is not None else "SA"
+    require(which in ("SA", "LA", "LM", "SM"), InvalidOptionsError,
+            f"which={which!r} not supported (use 'SA', 'LA', 'LM' or "
+            "'SM')")
     op = as_operator(A, dtype=dtype)
     B = None if M is None else as_operator(M, dtype=dtype)
-    flip = which == "LA"
-    if flip:
-        op = _Negated(op)
 
     kw = dict(overrides)
     if ncv is not None:
@@ -119,6 +220,41 @@ def eigsh(A, k: int = 6, M=None, sigma=None, which: str = "SA",
             v0 = v0[:, None]
         kw.setdefault("initial_vectors", v0)
 
+    if sigma is not None or which == "SM":
+        require(B is None, InvalidOptionsError,
+                "sigma/'SM' (spectral fold) supports standard problems "
+                "only: fold a pencil by pre-transforming it, or use "
+                "eigensolve directly")
+        require(sigma is None or which == "LM", InvalidOptionsError,
+                "with sigma, which must be 'LM' (scipy's shift-invert "
+                "default: eigenvalues nearest sigma)")
+        tol_eff = float(kw.pop("tolerance"))
+        w, v, _ = _folded_solve(op, k, 0.0 if sigma is None else sigma,
+                                tol_eff, kw)
+        return (w, v) if return_eigenvectors else w
+
+    if which == "LM":
+        # Largest magnitude = the k biggest |λ| among both spectrum
+        # ends: lowest-k of A (left end) and of -A (right end), merged.
+        require(2 * k <= op.shape[0], InvalidOptionsError,
+                "which='LM' solves both spectrum ends (k pairs each) "
+                "and needs 2*k <= n")
+        lo = eigensolve(op, k, **kw)
+        hi = eigensolve(_Negated(op), k, **kw)
+        if not (bool(lo.converged) and bool(hi.converged)):
+            raise ArpackNoConvergence(lo if not bool(lo.converged)
+                                      else hi, k)
+        w = np.concatenate([np.asarray(lo.eigenvalues),
+                            -np.asarray(hi.eigenvalues)])
+        v = np.concatenate([np.asarray(lo.eigenvectors),
+                            np.asarray(hi.eigenvectors)], axis=1)
+        keep = np.argsort(-np.abs(w), kind="stable")[:k]
+        keep = keep[np.argsort(w[keep], kind="stable")]  # ascending
+        return (w[keep], v[:, keep]) if return_eigenvectors else w[keep]
+
+    flip = which == "LA"
+    if flip:
+        op = _Negated(op)
     res = eigensolve(op, k, second_matrix=B, **kw)
     if not bool(res.converged):
         raise ArpackNoConvergence(res, k)

@@ -65,13 +65,56 @@ class TestEigsh:
         np.testing.assert_allclose(w, np.linalg.eigvalsh(A)[:2],
                                    atol=1e-8)
 
-    def test_sigma_raises(self, A):
-        with pytest.raises(InvalidOptionsError, match="shift-invert"):
-            eigsh(A, k=2, sigma=0.5)
+    def test_sigma_interior_fold_matches_scipy(self, A):
+        # Eigenvalues nearest an interior shift via the spectral fold
+        # (A - σ)² — scipy's shift-invert is the oracle.
+        sig = float(np.median(np.linalg.eigvalsh(A)))
+        w, v = eigsh(A, k=3, sigma=sig, tol=1e-9)
+        ws = scipy.sparse.linalg.eigsh(A, k=3, sigma=sig)[0]
+        np.testing.assert_allclose(w, np.sort(ws), atol=1e-7)
+        r = np.linalg.norm(A @ v - v * w[None, :], axis=0)
+        assert np.all(r < 1e-8)
 
-    def test_which_sm_raises(self, A):
-        with pytest.raises(InvalidOptionsError, match="not supported"):
-            eigsh(A, k=2, which="SM")
+    def test_sigma_requires_lm(self, A):
+        with pytest.raises(InvalidOptionsError, match="'LM'"):
+            eigsh(A, k=2, sigma=0.5, which="SA")
+
+    def test_sigma_generalized_raises(self, A):
+        B = np.asarray(generate_diagonal_dominant(120, 1e-3,
+                                                  diag_val=1.0))
+        with pytest.raises(InvalidOptionsError, match="standard"):
+            eigsh(A, k=2, M=B, sigma=0.5)
+
+    def test_which_sm_fold_at_zero(self, A):
+        # Shift the spectrum to straddle zero so SM is a genuine
+        # interior target, then check against the full dense solve.
+        As = A - np.median(np.linalg.eigvalsh(A)) * np.eye(A.shape[0])
+        w, v = eigsh(As, k=3, which="SM", tol=1e-9)
+        full = np.linalg.eigvalsh(As)
+        expect = np.sort(full[np.argsort(np.abs(full))[:3]])
+        np.testing.assert_allclose(w, expect, atol=1e-7)
+        r = np.linalg.norm(As @ v - v * w[None, :], axis=0)
+        assert np.all(r < 1e-8)
+
+    def test_which_lm_merges_spectrum_ends(self, A):
+        w, v = eigsh(A, k=4, which="LM", tol=1e-9)
+        ws = scipy.sparse.linalg.eigsh(A, k=4, which="LM")[0]
+        np.testing.assert_allclose(w, np.sort(ws), atol=1e-7)
+        r = np.linalg.norm(A @ v - v * w[None, :], axis=0)
+        assert np.all(r < 1e-8)
+
+    def test_which_lm_negative_end(self):
+        # A spectrum straddling zero where the k largest |λ| come from
+        # BOTH ends.
+        d = np.concatenate([[-9.0, -8.5], np.linspace(-1, 1, 56),
+                            [7.0, 8.0, 9.5]])
+        rng = np.random.default_rng(5)
+        Q = np.linalg.qr(rng.standard_normal((d.size, d.size)))[0]
+        A = Q @ np.diag(d) @ Q.T
+        w = eigsh(A, k=4, which="LM", tol=1e-9,
+                  return_eigenvectors=False)
+        np.testing.assert_allclose(sorted(np.abs(w)),
+                                   [8.0, 8.5, 9.0, 9.5], atol=1e-7)
 
     def test_no_convergence_raises_with_partials(self, A):
         with pytest.raises(ArpackNoConvergence) as exc:
