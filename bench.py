@@ -392,6 +392,34 @@ def bench_bsr_spmm():
                 two_pass_estimate_s=(results.get("int8", float("nan"))
                                      + 2 * n * m * 2 / nominal),
             )
+            # Measured same-pattern copy at the FUSED plan's geometry
+            # (round-5, experiments/r5_write_probe.py): the honest
+            # light speed for a kernel that WRITES — the platform's
+            # write engine caps at ~250-260 GB/s, so the nominal-BW
+            # write leg above is unattainable by ANY writing kernel.
+            # Probe conclusion: the fused write variant runs AT/above
+            # the pure-DMA copy's speed (1.076x measured) — compute is
+            # fully hidden; the two-leg-nominal 0.498 was an
+            # unattainable-basis artifact, same story as the plain
+            # SpMM's measured-copy rebase.
+            try:
+                fplan = _gram_plan(nbr, bs, K, bw, m, m, 2, b_item_q,
+                                   2, 2, True)
+                if fplan is not None:
+                    Rf, NBf, Wf = fplan
+                    copy_w = _copy_roofline_kernel(
+                        bs, K, Wf, Rf, NBf, m, jnp.int8, jnp.bfloat16,
+                        jnp.bfloat16, nbr)
+                    cchain = jax.jit(lambda b, y: jax.lax.fori_loop(
+                        0, _CHAIN, lambda _, yy: copy_w(b, yy), y))
+                    t_cw = timed_fn(cchain, qop.qblocks, xb)
+                    fd["write"]["measured_copy_roofline_s"] = t_cw
+                    fd["write"]["frac_of_measured_copy_roofline"] = \
+                        t_cw / t_f
+                    fd["write"]["frac_of_two_leg_measured"] = \
+                        max(t_cw, flops_min / peak_flops) / t_f
+            except Exception as e:  # noqa: BLE001
+                fd["write"]["copy_error"] = str(e)[:200]
         out["fused_gram"] = fd
     return out
 

@@ -155,7 +155,13 @@ def bsr_spmm(block_cols, blocks, x, *, interpret: bool | None = None,
 
 
 _N_WINDOW_BUFFERS = 4  # ring depth: windows fetched 3 tiles ahead
-_N_OUT_BUFFERS = 3     # output write ring (VMEM -> HBM async copies)
+# Output write ring depth (VMEM -> HBM async copies). Swept in
+# experiments/r5_write_probe.py on v5e at the bench shape: 4 beats 3 by
+# ~1% and 2 by ~2.5% (deeper ring hides more of the ~250-260 GB/s
+# write-engine latency behind compute); the planners charge the ring's
+# VMEM (NBO * R * bs * mp * out_item), so constrained shapes degrade R
+# rather than overflow.
+_N_OUT_BUFFERS = 4
 
 
 def _banded_sweep(x_hbm, xbuf, sem, *, bs, bw, W, nbr, R, NB, compute_row,
