@@ -19,12 +19,13 @@ shape end to end:
 Run: ``python -m fortran_davidson_tpu.examples.northstar --n 10000384``
 
 The LITERAL BASELINE north star — lowest-20 of 10M rows to honest 1e-8
-— fits ONE v5e chip with the narrow basis shape (wider collapses
-transiently double the tall carries past 16 GB HBM)::
+— fits ONE v5e chip. Since round 5 no basis-width flag is needed: the
+default resolver clamps ``max_dim_sub`` to the measured-best single-chip
+shape (44 — wider collapses transiently double the tall carries past
+16 GB HBM; see ``DavidsonOptions.max_dim_sub``)::
 
     python -m fortran_davidson_tpu.examples.northstar --lowest 20 \\
-        --progressive --tolerance 1e-8 --expansion lowest-k \\
-        --max-dim-sub 44
+        --progressive --tolerance 1e-8 --expansion lowest-k
 
 Measured (v5e, round 4): 6.68 s warm, 24 refined iterations, all 20
 pairs converged, true residuals <= 8.2e-11 (needs the DS operator
@@ -88,13 +89,15 @@ def main(argv=None) -> int:
                         default="auto",
                         help="refined-path storage of the tall carries; "
                         "'chunked' removes the per-iteration relayout "
-                        "copies (single-chip only, requires --refined)")
+                        "copies (requires --refined; since round 5 runs "
+                        "under --sharded too, with shard-aligned chunks)")
     parser.add_argument("--max-dim-sub", type=int, default=0,
                         help="subspace collapse threshold (default "
-                        "10*lowest, the reference rule). At 10M rows the "
-                        "iteration count is sensitive to basis width: "
-                        "measured 44 -> 16 cold refined iterations vs 25 "
-                        "at the default 40")
+                        "10*lowest, HBM-clamped at large n since round "
+                        "5: at 10M/f32/k=20 the default resolves to the "
+                        "measured-best 44 — 16 cold refined iterations "
+                        "vs 25 at width 40 — so this flag is only "
+                        "needed to override)")
     args = parser.parse_args(argv)
     if args.progressive:
         args.refined = True
