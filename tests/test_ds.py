@@ -240,3 +240,39 @@ class TestCascadeStrategy:
         with pytest.raises(ValueError):
             with ds.sum_strategy("bogus"):
                 pass
+
+    @pytest.mark.parametrize("divisor", [1, 2, 4, 8])
+    def test_shard_local_fold_accuracy(self, rng, divisor):
+        # The shard-local pairing (round 5: tree folds reshape to
+        # (D, r/D, ...) so every level is elementwise within a shard)
+        # is an error-free transform: any D must stay in the eps²
+        # accuracy class vs the f64 oracle.
+        n, k = 4096, 3
+        x = f32(rng.standard_normal((n, k)) * 10.0 ** rng.integers(
+            -3, 4, (n, k)))
+        want = np.sum(np.asarray(x, np.float64), axis=0)
+        with ds.sum_strategy("tree", row_divisor=divisor):
+            got = ds.tall_sum_ds(x)
+        total = np.asarray(got.hi, np.float64) + np.asarray(got.lo,
+                                                            np.float64)
+        scale = np.sum(np.abs(np.asarray(x, np.float64)), axis=0)
+        assert np.all(np.abs(total - want) < 1e-12 * scale)
+
+    def test_shard_local_fold_indivisible_rows_fall_back(self, rng):
+        # Leading dims not divisible by D take the plain pairing —
+        # same accuracy, no crash.
+        x = f32(rng.standard_normal((1000, 2)))
+        want = np.sum(np.asarray(x, np.float64), axis=0)
+        with ds.sum_strategy("tree", row_divisor=7):
+            got = ds.tall_sum_ds(x)
+        total = np.asarray(got.hi, np.float64) + np.asarray(got.lo,
+                                                            np.float64)
+        np.testing.assert_allclose(total, want, rtol=0, atol=1e-10)
+
+    def test_gram_chunk_divisor_aware(self):
+        # Under a row divisor the Gram chunk must divide the per-shard
+        # rows (or the (n/c, c, m) reshape resharded across devices).
+        with ds.sum_strategy("tree", row_divisor=8):
+            assert (16384 // 8) % ds._chunk(16384, None) == 0
+            assert (65536 // 8) % ds._chunk(65536, None) == 0
+        assert ds._chunk(16384, None) == 4096  # default restored
