@@ -176,6 +176,18 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
         # whose trigger depends on noise-gate specifics.
         state["best_err"] = jnp.asarray(jnp.inf, dt)
         state["no_prog"] = jnp.asarray(0, jnp.int32)
+        # Coarse second window (round 5): the fine 1%/10-iteration test
+        # is fragile against floor noise — occasional >=1% new minima
+        # (whose exact timing shifts with ANY error-free reordering of
+        # the compensated sums) keep resetting it, measured +35 stall-
+        # latency iterations at the 10M north star after a pairing-
+        # order change. The anchor tracks CUMULATIVE improvement: if
+        # the worst wanted residual has not improved 30% in
+        # 2*_PLATEAU_ITERS non-collapse iterations, the loop is at its
+        # floor no matter how the noise wiggles. A genuinely converging
+        # refined solve crosses 30% in a couple of iterations.
+        state["anchor_err"] = jnp.asarray(jnp.inf, dt)
+        state["anchor_age"] = jnp.asarray(0, jnp.int32)
     if spec_ub is not None:
         state["spec_ub"] = spec_ub
     if constrain is not None:
@@ -735,7 +747,17 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                                 jnp.where(collapsed, st["no_prog"],
                                           st["no_prog"] + 1))
             out["no_prog"] = no_prog
-            out["stalled"] = out["stalled"] | (no_prog >= _PLATEAU_ITERS)
+            # Coarse window (see init_state): resets only on CUMULATIVE
+            # 30% improvement, so floor noise cannot keep it alive.
+            better = worst < st["anchor_err"] * 0.7
+            out["anchor_err"] = jnp.where(better, worst,
+                                          st["anchor_err"])
+            age = jnp.where(better, 0,
+                            jnp.where(collapsed, st["anchor_age"],
+                                      st["anchor_age"] + 1))
+            out["anchor_age"] = age
+            out["stalled"] = out["stalled"] | (no_prog >= _PLATEAU_ITERS) \
+                | (age >= 2 * _PLATEAU_ITERS)
         if gen:
             out["BV"] = BVn
         if "spec_ub" in st:

@@ -258,25 +258,45 @@ def _cascade_fold(slab_fn, n: int, width: int, dtype, B: int) -> DS:
 def _slice(x, start, size):
     return jax.lax.dynamic_slice_in_dim(x, start, size, axis=0)
 
+def _pair_contiguous() -> bool:
+    """Pairing order for the tree folds, chosen per backend.
+
+    Any pairing is an error-free transform of the same sum (every
+    rounding lands in the lo channel), but:
+
+    - XLA:CPU at its default optimization level was observed to
+      MISCOMPILE the strided ``hi[0::2]/hi[1::2]`` form when fused into
+      a large module (in-solve polish residuals corrupted at eps·λ;
+      ``--xla_backend_optimization_level=0`` or the cascade strategy
+      both fixed it) — CPU pairs CONTIGUOUS halves, which avoid that
+      fusion path.
+    - On TPU the strided order is the round-3/4 form every 10M-row
+      measurement validated; switching it to contiguous halves shifted
+      the refined north star's noise-gate admissions enough to drag the
+      stall-out from 24 to 59 iterations (measured round 5, identical
+      final residuals). TPU keeps the strided order.
+
+    Backend-dependent bits break no contract: CPU-vs-TPU trajectories
+    already differ (matmul precision), and all parity pins run per
+    backend.
+    """
+    return jax.default_backend() != "tpu"
+
+
 def _fold_leading(hi, lo):
     """Two_sum tree-fold of axis 0 down to one entry (no final renorm).
 
-    Pairs CONTIGUOUS halves, not strided even/odd rows: any pairing is
-    an error-free transform of the same sum (every rounding lands in
-    the lo channel), but the strided hi[0::2]/hi[1::2] form was
-    observed MISCOMPILED by XLA:CPU's default optimization level when
-    fused into a large module (in-solve polish residuals corrupted at
-    eps·λ; --xla_backend_optimization_level=0 or the cascade strategy
-    both fixed it). Contiguous slices avoid that fusion path.
+    Pairing order per backend — see :func:`_pair_contiguous`.
 
     Under GSPMD row sharding (``_ROW_DIVISOR`` D > 1, leading axis
     divisible by D) the fold is SHARD-LOCAL: reshape to (D, r/D, ...),
     tree WITHIN axis 1 (pure elementwise on each device's rows), then an
     exact sequential cascade over the D per-shard partials — only the
-    (D, width) partial ever crosses the mesh. The naive halves pairing
+    (D, width) partial ever crosses the mesh. A cross-shard pairing
     would instead permute half the array across devices at the first
     level alone (see ``_ROW_DIVISOR``).
     """
+    contiguous = _pair_contiguous()
     D = _ROW_DIVISOR.get()
     r = hi.shape[0]
     if D > 1 and r >= D and r % D == 0:
@@ -289,9 +309,15 @@ def _fold_leading(hi, lo):
                 z = jnp.zeros_like(hi[:, :1])
                 hi = jnp.concatenate([hi, z], axis=1)
                 lo = jnp.concatenate([lo, z], axis=1)
-            s, e = two_sum(hi[:, :half], hi[:, half:])
+            if contiguous:
+                a, b = (hi[:, :half], hi[:, half:])
+                la, lb = (lo[:, :half], lo[:, half:])
+            else:
+                a, b = (hi[:, 0::2], hi[:, 1::2])
+                la, lb = (lo[:, 0::2], lo[:, 1::2])
+            s, e = two_sum(a, b)
             hi = s
-            lo = lo[:, :half] + lo[:, half:] + e
+            lo = la + lb + e
         hi, lo = hi[:, 0], lo[:, 0]
         h_acc, l_acc = hi[0], lo[0]
         for i in range(1, D):  # exact cascade over per-shard partials
@@ -304,9 +330,15 @@ def _fold_leading(hi, lo):
         if half * 2 - k:
             hi = jnp.concatenate([hi, jnp.zeros_like(hi[:1])])
             lo = jnp.concatenate([lo, jnp.zeros_like(lo[:1])])
-        s, e = two_sum(hi[:half], hi[half:])
+        if contiguous:
+            a, b = hi[:half], hi[half:]
+            la, lb = lo[:half], lo[half:]
+        else:
+            a, b = hi[0::2], hi[1::2]
+            la, lb = lo[0::2], lo[1::2]
+        s, e = two_sum(a, b)
         hi = s
-        lo = lo[:half] + lo[half:] + e
+        lo = la + lb + e
     return hi[0], lo[0]
 
 
