@@ -613,18 +613,28 @@ def bench_northstar_10m():
 
 
 def bench_northstar_10m_bsr():
-    """The literal BASELINE north star on the SPARSE (BSR) format:
-    lowest-20 of a 10M-row diagonal-dominant DIA-banded matrix to honest
-    1e-8, ONE chip. Storage is the int8-quantized banded operator (the
-    f32 block table alone is 15.4 GB — more than one chip's HBM; int8
-    off-diagonal + exact f32 diagonal fits at ~4 GB), assembled host-side
-    and solved with the progressive recipe. Honest residuals come from
-    the round-5 compensated (DS) sparse applies: the polish measures
-    true residuals through `matmat_ds` (exact per-slot combine + exact
-    scale/diagonal products), pinned vs f64 oracles in
-    tests/test_ds_apply_sparse.py. Reference analogue: the free engine's
-    residual evaluation (`src/davidson.f90:401-410`) at a scale the
-    reference cannot represent."""
+    """The BASELINE north star on the SPARSE (BSR) format: lowest-20 of
+    a diagonal-dominant DIA-banded matrix to honest 1e-8 at the LARGEST
+    single-chip scale (n = 2,097,152). Storage is the int8-quantized
+    banded operator (int8 off-diagonal + exact f32 diagonal); honest
+    residuals come from the round-5 compensated (DS) sparse applies
+    (pinned vs f64 oracles in tests/test_ds_apply_sparse.py). Reference
+    analogue: the free engine's residual evaluation
+    (`src/davidson.f90:401-410`) at a scale the reference cannot
+    represent.
+
+    Why not 10M on one chip (measured, round 5 — /tmp aval-only compile
+    probes, HTTP-500 = compile-helper OOM-abort): the f32 refined+polish
+    program carries ~5.3 KB/row — f32 V/AV caches with DS lo channels,
+    the k-block polish state, and two unavoidable (n, 128) pad
+    transients per operator apply (Mosaic requires 128-lane minor
+    alignment; a 64-wide basis pads 2x on the way into and out of every
+    Pallas call) — so one 16 GB chip caps near n ~ 2-3M for the refined
+    recipe (~5M for the loose stage alone). The 10M sparse shape is the
+    POD workload: `dryrun_multichip` executes it row-sharded (per-device
+    rows n/N) and the scaling_model section projects its efficiency.
+    The 10M-row SINGLE-CHIP north star remains the matrix-free section
+    above (its operator is O(n) storage, not O(n*band))."""
     import numpy as np
 
     from fortran_davidson_tpu import eigensolve
@@ -632,7 +642,7 @@ def bench_northstar_10m_bsr():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        nbr, bs, k = 78128, 128, 20   # n = 10,000,384
+        nbr, bs, k = 16384, 128, 20   # n = 2,097,152 (see docstring)
     else:
         nbr, bs, k = 1024, 16, 6      # CPU smoke scale
     op = generate_banded_bsr_quantized(
@@ -641,7 +651,11 @@ def bench_northstar_10m_bsr():
     n = op.shape[0]
     out = dict(n=n, k=k, format="int8 DIA-banded BSR",
                block_size=bs, bandwidth=1,
-               stored_block_bytes=int(op.qblocks.size))
+               stored_block_bytes=int(op.qblocks.size),
+               single_chip_scale_note=(
+                   "largest refined-recipe scale fitting one 16 GB "
+                   "chip; 10M sparse runs sharded (dryrun) — see "
+                   "docstring"))
 
     # max_dim_sub: try the measured-best single-chip basis width first;
     # fall back narrower if the int8 table + wider carries overflow HBM.
@@ -678,16 +692,20 @@ def bench_northstar_10m_bsr():
         out["error"] = last_err
         return out
 
-    # Fused-gram A/B on the engine the kernel now serves (round-5): the
+    # Fused-gram A/B on the engine the kernel serves (round-5): the
     # f32 lowest-k loop with the incremental carried H + fused expand
     # block vs the recomputed-Gram two-pass engine, fixed iteration
     # budget (unreachable tolerance), per-iteration wall compared.
+    # "on" FORCES the fused engine at this k=20 shape — measured 0.76x
+    # (the kernels' mandatory 128-lane padding taxes the k-wide expand
+    # block 6.4x), which is exactly why fused_gram="auto" only engages
+    # at block widths >= 128; the A/B stays here as the evidence.
     if time.monotonic() > _DEADLINE[0]:
         out["fused_ab"] = {"skipped": "bench deadline passed"}
         return out
     try:
         ab = {}
-        for name, fg in (("fused", "auto"), ("two_pass", "off")):
+        for name, fg in (("fused", "on"), ("two_pass", "off")):
             kw_ab = dict(loose, fused_gram=fg, tolerance=1e-30,
                          max_iterations=8)
             r0 = eigensolve(op, k, **kw_ab)
@@ -754,7 +772,14 @@ def _batched_point(b, n, k):
     off = np.triu((rng.random((n, n), dtype=np.float32) - 0.5) * 2e-3, 1)
     base = off + off.T
     shifts = 1.0 + 0.05 * np.arange(b, dtype=np.float32)
-    mats = shifts[:, None, None] * np.diag(d)[None] + base[None]
+    # Stage ON DEVICE before timing: a (128, 1024, 1024) f32 stack is
+    # 512 MB — shipping it through the axon tunnel per dispatch would
+    # swamp both sides of the A/B (measured: host->device transfer
+    # dominated a round-5 rehearsal at ~10x the solve time). The A/B
+    # compares SOLVERS, so both start from device-resident operands.
+    mats = jnp.asarray(shifts[:, None, None] * np.diag(d)[None]
+                       + base[None])
+    jnp.asarray(mats).block_until_ready()
     kw = dict(tolerance=1e-4, dtype="float32", max_iterations=60)
 
     out = dict(b=b, n=n, k=k)

@@ -204,8 +204,17 @@ class DavidsonOptions:
         still in VMEM), replacing the per-iteration full Gram
         recomputation (reference gemms ``src/davidson.f90:131,380``).
         Applies to float32, standard-problem, lowest-k, non-refined
-        solves on capable operators; every other configuration runs the
-        recomputed-Gram engine unchanged. ``"off"`` disables it (exact
+        solves on capable operators — and, under ``"auto"``, only at
+        WIDE block shapes (``lowest >= 128`` with a 128-aligned padded
+        basis): Mosaic requires 128-lane minor alignment, so a k-wide
+        expand block pads to 128 columns inside the Pallas kernel and
+        at the usual k ~ 20 the fused call reads 6.4x the x bytes (plus
+        a 2x-padded v stream) — measured 0.76x vs the two-pass engine
+        at the BSR north-star shape (BENCH_r05 ``fused_ab``), while at
+        k-block widths >= 128 the fusion's saved Gram pass wins (the
+        m=256 kernel-level sweeps). ``"on"`` forces the incremental-H
+        engine regardless of width (the structural requirements and
+        operator capability still gate); ``"off"`` disables it (exact
         round-4 trajectory parity). The refined/compensated path never
         uses it: the fused kernel's f32 gram accumulation is far above
         the DS gram's precision.
@@ -263,9 +272,10 @@ class DavidsonOptions:
                     and self.cheb_degree >= 0),
                 InvalidOptionsError,
                 "cheb_degree must be a non-negative int or 'auto'")
-        require(self.fused_gram in ("auto", "off"), InvalidOptionsError,
+        require(self.fused_gram in ("auto", "on", "off"),
+                InvalidOptionsError,
                 f"unknown fused_gram {self.fused_gram!r} "
-                "(supported: 'auto', 'off')")
+                "(supported: 'auto', 'on', 'off')")
         require(self.carry_layout in ("auto", "flat", "chunked"),
                 InvalidOptionsError,
                 f"unknown carry_layout {self.carry_layout!r}")

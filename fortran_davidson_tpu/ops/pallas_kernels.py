@@ -37,6 +37,24 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE_R = 8  # block rows per grid step (minimum f32 sublane tile)
 
 
+def _lane_pad(m: int) -> int:
+    """Padded minor width for an m-column operand: the next multiple of
+    128. Mosaic REQUIRES 128-lane alignment for VMEM slices (probed
+    round 5: a 64-lane window buffer fails `tpu.memref_slice` with
+    "must be aligned to tiling (128)"), so narrow operands pay a full
+    (n, 128) padded copy of input and output — at 10M rows that is
+    +5.1 GB per transient in f32, the binding memory constraint of the
+    single-chip BSR north star (see bench.py northstar_10M_lowest20_bsr
+    for the budget math)."""
+    return max(128, -(-m // 128) * 128)
+
+
+def _phys_lanes(mp: int) -> int:
+    """Physical VMEM lane footprint of an mp-wide buffer: tiles are 128
+    lanes wide regardless of the logical minor dimension."""
+    return max(128, -(-mp // 128) * 128)
+
+
 def _acc_dtype(operand_dtype):
     """MXU accumulator dtype: Mosaic requires 32-bit accumulation for
     sub-32-bit operands (bf16 matmuls accumulate in f32 natively)."""
@@ -111,7 +129,7 @@ def bsr_spmm(block_cols, blocks, x, *, interpret: bool | None = None,
     K = kbs // bs
     n_in, m = x.shape
     # Lane dimension: pad m to the 128-lane register width.
-    mp = max(128, -(-m // 128) * 128)
+    mp = _lane_pad(m)
     if mp != m:
         x = jnp.pad(x, ((0, 0), (0, mp - m)))
     # Row-tile dimension: pad the block-row tables to a multiple of the
@@ -365,14 +383,18 @@ def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
     VMEM mapping at run time instead of taking the two-pass fallback.
     """
     budget = _VMEM_BUDGET_PURE_READ if pure_read else _VMEM_BUDGET
+    # VMEM tiles are 128 lanes wide physically: a 64-lane logical buffer
+    # (see _lane_pad) still occupies 128-lane tiles, so the budget is
+    # charged at the physical width.
+    mpp = _phys_lanes(mp)
     for R in r_tiers:
         if nbr % R or nbr < min_tiles * R or bw >= R:
             continue
         for NB in (4, 3, 2):
             W = R + 2 * bw
-            vmem = (NB * W * bs * mp * x_item          # window ring
+            vmem = (NB * W * bs * mpp * x_item         # window ring
                     + 2 * R * bs * K * bs * b_item     # block pipeline
-                    + _N_OUT_BUFFERS * R * bs * mp * out_item  # out ring
+                    + _N_OUT_BUFFERS * R * bs * mpp * out_item  # out ring
                     + gram_vmem * R                    # fused-gram v tile
                     + fixed_vmem)                      # gram accumulator
             if vmem <= budget:
@@ -396,18 +418,20 @@ def _gram_plan(nbr, bs, K, bw, m, mv, x_item, b_item, out_item, v_item,
     window-DMA issue rate — the measured contention bottleneck of the
     pure-read sweep.
     """
-    mp = max(128, -(-m // 128) * 128)
-    mvp = max(128, -(-mv // 128) * 128)
+    mp = _lane_pad(m)
+    mvp = _lane_pad(mv)
+    # Physical (128-lane tile) widths for the VMEM charges below.
+    mpp, mvpp = _phys_lanes(mp), _phys_lanes(mvp)
     # gram_vmem per R-row: the double-buffered pipelined v tile (absent
     # when v IS x) plus the tile's staged row results (ybuf) for the
     # single per-tile gram dot.
-    v_tile = 0 if v_is_x else 2 * mvp * v_item
+    v_tile = 0 if v_is_x else 2 * mvpp * v_item
     ybuf_item = x_item if v_is_x else v_item
     pure_read = v_is_x and out_item == 0
     r_tiers = (32, 16, 8) if pure_read else (16, 8)
     return _banded_plan(nbr, bs, K, bw, mp, x_item, b_item, out_item,
-                        gram_vmem=(v_tile + mp * ybuf_item) * bs,
-                        fixed_vmem=mvp * mp * 4, r_tiers=r_tiers,
+                        gram_vmem=(v_tile + mpp * ybuf_item) * bs,
+                        fixed_vmem=mvpp * mpp * 4, r_tiers=r_tiers,
                         pure_read=pure_read)
 
 
@@ -454,7 +478,7 @@ def banded_bsr_spmm(blocks, x, *, bandwidth: int,
             f"nbr % {_TILE_R} == 0 and nbr >= {2 * _TILE_R}; "
             f"got nbr={nbr}, K={K}, bw={bw}")
     n_in, m = x.shape
-    mp = max(128, -(-m // 128) * 128)
+    mp = _lane_pad(m)
     if mp != m:
         x = jnp.pad(x, ((0, 0), (0, mp - m)))
 
@@ -618,10 +642,10 @@ def banded_bsr_spmm_gram(blocks, x, v=None, *, bandwidth: int,
     n_in, m = x.shape
     v_is_x = v is None
     mv = m if v_is_x else v.shape[1]
-    mp = max(128, -(-m // 128) * 128)
+    mp = _lane_pad(m)
     if mp != m:
         x = jnp.pad(x, ((0, 0), (0, mp - m)))
-    mvp = max(128, -(-mv // 128) * 128)
+    mvp = _lane_pad(mv)
     if not v_is_x and mvp != mv:
         v = jnp.pad(v, ((0, 0), (0, mvp - mv)))
 
@@ -767,7 +791,7 @@ def banded_q_bsr_spmm(qblocks, scale_rows, diag, x, *, bandwidth: int,
             f"nbr % {_TILE_R} == 0 and nbr >= {2 * _TILE_R}; "
             f"got nbr={nbr}, K={K}, bw={bw}")
     n_in, m = x.shape
-    mp = max(128, -(-m // 128) * 128)
+    mp = _lane_pad(m)
     if mp != m:
         x = jnp.pad(x, ((0, 0), (0, mp - m)))
 
@@ -891,10 +915,10 @@ def banded_q_bsr_spmm_gram(qblocks, scale_rows, diag, x, v=None, *,
     n_in, m = x.shape
     v_is_x = v is None
     mv = m if v_is_x else v.shape[1]
-    mp = max(128, -(-m // 128) * 128)
+    mp = _lane_pad(m)
     if mp != m:
         x = jnp.pad(x, ((0, 0), (0, mp - m)))
-    mvp = max(128, -(-mv // 128) * 128)
+    mvp = _lane_pad(mv)
     if not v_is_x and mvp != mv:
         v = jnp.pad(v, ((0, 0), (0, mvp - mv)))
 
@@ -1064,7 +1088,7 @@ def banded_q_ext_bsr_spmm(qblocks, scale_rows, diag, x_ext, *,
     if n_ext != (nbr + 2 * bw) * bs:
         raise ValueError(
             f"x_ext has {n_ext} rows, expected {(nbr + 2 * bw) * bs}")
-    mp = max(128, -(-m // 128) * 128)
+    mp = _lane_pad(m)
     if mp != m:
         x_ext = jnp.pad(x_ext, ((0, 0), (0, mp - m)))
 
@@ -1201,7 +1225,7 @@ def banded_ext_bsr_spmm(blocks, x_ext, *, bandwidth: int,
     if n_ext != (nbr + 2 * bw) * bs:
         raise ValueError(
             f"x_ext has {n_ext} rows, expected {(nbr + 2 * bw) * bs}")
-    mp = max(128, -(-m // 128) * 128)
+    mp = _lane_pad(m)
     if mp != m:
         x_ext = jnp.pad(x_ext, ((0, 0), (0, mp - m)))
 
@@ -1423,7 +1447,7 @@ def banded_remote_halo_spmm(blocks, x_local, *, bandwidth: int, ndev: int,
             f"{_TILE_R} == 0 and nbr_l >= {2 * _TILE_R} (at least two "
             f"tiles per shard); got nbr_l={nbr_l}, K={K}, bw={bw}")
     n_l, m = x_local.shape
-    mp = max(128, -(-m // 128) * 128)
+    mp = _lane_pad(m)
     if mp != m:
         x_local = jnp.pad(x_local, ((0, 0), (0, mp - m)))
     plan = _banded_plan(nbr_l, bs, K, bw, mp, x_local.dtype.itemsize,

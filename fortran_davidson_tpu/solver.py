@@ -66,10 +66,17 @@ def eigensolve(matrix, lowest: int, second_matrix=None,
                 f"B shape {B.shape} does not match A shape {A.shape}")
 
     cfg = resolve_options(opts, lowest, A.shape[0], generalized=B is not None)
-    if (opts.fused_gram == "auto" and B is None and not cfg.refined
+    if (opts.fused_gram in ("auto", "on") and B is None and not cfg.refined
             and cfg.expansion == "lowest-k"
             and jnp.dtype(cfg.dtype) == jnp.float32
-            and hasattr(A, "matmat_with_gram")):
+            and hasattr(A, "matmat_with_gram")
+            # "auto" additionally requires a wide enough block shape
+            # that the kernels' mandatory 128-lane padding does not eat
+            # the fusion win: at k ~ 20 the padded expand block costs
+            # 6.4x its x bytes and the fused engine measures 0.76x vs
+            # two-pass (see DavidsonOptions.fused_gram); "on" forces it.
+            and (opts.fused_gram == "on"
+                 or (lowest >= 128 and cfg.m_max % 128 == 0))):
         # Incremental-H engine: the expand block's projection columns
         # come from the operator's fused SpMM+Gram kernel (see
         # DavidsonOptions.fused_gram). Capability is an operator

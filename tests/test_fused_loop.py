@@ -35,8 +35,11 @@ KW = dict(method="DPR", tolerance=1e-4, relative_tolerance=True,
 
 class TestFusedEngine:
     def test_matches_recomputed_gram_engine(self):
+        # fused_gram="on" forces the incremental-H engine (the "auto"
+        # width gate keeps it off below 128-wide blocks — see
+        # DavidsonOptions.fused_gram).
         op = _bsr()
-        on = fdt.eigensolve(op, 4, fused_gram="auto", **KW)
+        on = fdt.eigensolve(op, 4, fused_gram="on", **KW)
         off = fdt.eigensolve(op, 4, fused_gram="off", **KW)
         assert bool(on.converged) and bool(off.converged)
         np.testing.assert_allclose(np.asarray(on.eigenvalues),
