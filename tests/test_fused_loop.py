@@ -108,3 +108,30 @@ class TestFusedEngine:
         res = fdt.eigensolve(op, 3, **dict(KW, refined=True,
                                            tolerance=1e-6))
         assert bool(res.converged)
+
+
+class TestAutoWidthGate:
+    """fused_gram='auto' engages only at block widths where the
+    kernels' mandatory 128-lane padding doesn't eat the fusion win
+    (measured 0.76x at k=20/m_max=64 on v5e — BENCH_r05 fused_ab)."""
+
+    def test_auto_stays_two_pass_at_narrow_k(self):
+        # k=4: the solver must NOT flip fused_gram on (trajectory equals
+        # the two-pass engine bit-for-bit).
+        op = _bsr()
+        a = fdt.eigensolve(op, 4, fused_gram="auto", **KW)
+        off = fdt.eigensolve(op, 4, fused_gram="off", **KW)
+        np.testing.assert_array_equal(np.asarray(a.eigenvalues),
+                                      np.asarray(off.eigenvalues))
+        assert int(a.iterations) == int(off.iterations)
+
+    def test_on_forces_fused_at_narrow_k(self):
+        op = _bsr()
+        on = fdt.eigensolve(op, 4, fused_gram="on", **KW)
+        assert bool(on.converged)
+
+    def test_on_still_respects_structural_gates(self):
+        # refined path must never run the fused engine even when forced.
+        op = _bsr()
+        r = fdt.eigensolve(op, 4, fused_gram="on", refined=True, **KW)
+        assert bool(r.converged)
