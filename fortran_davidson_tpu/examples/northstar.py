@@ -27,9 +27,10 @@ shape (44 — wider collapses transiently double the tall carries past
     python -m fortran_davidson_tpu.examples.northstar --lowest 20 \\
         --progressive --tolerance 1e-8 --expansion lowest-k
 
-Measured (v5e, round 4): 6.68 s warm, 24 refined iterations, all 20
-pairs converged, true residuals <= 8.2e-11 (needs the DS operator
-apply — see CHANGELOG 0.5.0).
+Measured (v5e): round 4 6.68 s warm / 24 refined iterations; round 5
+**4.60 s / 17 iterations** after the trial-polish certification exit
+(CHANGELOG 0.6.0) — all 20 pairs converged, true residuals <= 2.0e-10
+(needs the DS operator apply, CHANGELOG 0.5.0).
 """
 
 from __future__ import annotations
