@@ -140,3 +140,31 @@ def test_polish_generalized(problem):
     err = np.linalg.norm(R, axis=0)
     assert err.max() < 5e-9 * max(np.abs(lam).max(), 1.0)
     np.testing.assert_allclose(lam, wg, rtol=1e-9, atol=1e-9)
+
+
+def test_trial_polish_certification_exit():
+    """Round 5: once the refined loop's fine no-progress window reaches
+    _POLISH_POLL_AT, the in-body polish certifies against the user's
+    tolerance and the loop exits through the stall path — far earlier
+    than the 10-iteration noise window. The final polish then re-runs
+    the same computation as the binding convergence check, so the
+    result is converged=True with honest true residuals."""
+    import fortran_davidson_tpu as fdt
+    from fortran_davidson_tpu.models.generators import surrogate_hamiltonian
+
+    n = 100_096
+    op = surrogate_hamiltonian(n, dtype=jnp.float32)
+    # Absolute 1e-9: BELOW the refined loop's f32-basis floor at this
+    # scale (the loop plateaus without converging) but well above the
+    # DS polish's reach (~2e-10) — the certified-stall regime.
+    kw = dict(method="DPR", tolerance=1e-9, relative_tolerance=False,
+              dtype="float32", expansion="lowest-k", refined=True,
+              final_polish=3, max_iterations=80)
+    res = fdt.eigensolve(op, 4, **kw)
+    assert bool(res.converged)
+    assert float(np.max(np.asarray(res.residual_norms))) < 1e-9
+    # Convergence at this tolerance can only come from a certified
+    # stall exit (the loop's own check never passes 1e-9 absolute at
+    # this scale), well before the iteration cap.
+    assert bool(res.stalled)
+    assert int(res.iterations) < kw["max_iterations"]
