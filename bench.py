@@ -779,7 +779,9 @@ def _batched_point(b, n, k):
     # compares SOLVERS, so both start from device-resident operands.
     mats = jnp.asarray(shifts[:, None, None] * np.diag(d)[None]
                        + base[None])
-    jnp.asarray(mats).block_until_ready()
+    # Force residency with a scalar fetch — block_until_ready does NOT
+    # block through the axon tunnel (CLAUDE.md).
+    float(mats[0, 0, 0])
     kw = dict(tolerance=1e-4, dtype="float32", max_iterations=60)
 
     out = dict(b=b, n=n, k=k)

@@ -121,6 +121,10 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
         BV0 = B.matmat(V0) if gen else None
         spec_ub = (chebyshev.lanczos_upper_bound(A.matmat, n, dt)
                    if (cfg.cheb_degree >= 2 or cfg.cheb_auto) else None)
+        # Fused-gram H seed: MUST stay inside the precision context —
+        # the default TPU bf16 operand demotion would poison the
+        # carried projected matrix until the first collapse re-seed.
+        H0 = subspace.project(V0, AV0) if cfg.fused_gram else None
     if cfg.carry_layout == "chunked":
         # Store the tall carries pre-chunked as (n/c, c, m_max) — the
         # layout the compensated Gram consumes — so the per-iteration
@@ -155,10 +159,11 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
         state["BV"] = BV0
     if cfg.fused_gram:
         # Incremental projected matrix (see DavidsonOptions.fused_gram):
-        # seeded with one full Gram; thereafter each expansion's new
-        # columns arrive from the operator's fused SpMM+Gram and a
-        # collapse re-seeds from the thin restart basis.
-        state["H"] = subspace.project(V0, AV0)
+        # seeded with one full Gram (H0, computed under the precision
+        # context above); thereafter each expansion's new columns arrive
+        # from the operator's fused SpMM+Gram and a collapse re-seeds
+        # from the thin restart basis.
+        state["H"] = H0
     if cfg.method == "GJD":
         # Cumulative inner-MINRES iterations across the solve — the
         # cost metric the adaptive gjd_inner_schedule reduces (the
@@ -183,18 +188,6 @@ def init_state(cfg: ResolvedConfig, A: LinearOperator,
         # whose trigger depends on noise-gate specifics.
         state["best_err"] = jnp.asarray(jnp.inf, dt)
         state["no_prog"] = jnp.asarray(0, jnp.int32)
-        # Coarse second window (round 5): the fine 1%/10-iteration test
-        # is fragile against floor noise — occasional >=1% new minima
-        # (whose exact timing shifts with ANY error-free reordering of
-        # the compensated sums) keep resetting it, measured +35 stall-
-        # latency iterations at the 10M north star after a pairing-
-        # order change. The anchor tracks CUMULATIVE improvement: if
-        # the worst wanted residual has not improved 30% in
-        # 2*_PLATEAU_ITERS non-collapse iterations, the loop is at its
-        # floor no matter how the noise wiggles. A genuinely converging
-        # refined solve crosses 30% in a couple of iterations.
-        state["anchor_err"] = jnp.asarray(jnp.inf, dt)
-        state["anchor_age"] = jnp.asarray(0, jnp.int32)
     if spec_ub is not None:
         state["spec_ub"] = spec_ub
     if constrain is not None:
@@ -754,17 +747,7 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                                 jnp.where(collapsed, st["no_prog"],
                                           st["no_prog"] + 1))
             out["no_prog"] = no_prog
-            # Coarse window (see init_state): resets only on CUMULATIVE
-            # 30% improvement, so floor noise cannot keep it alive.
-            better = worst < st["anchor_err"] * 0.7
-            out["anchor_err"] = jnp.where(better, worst,
-                                          st["anchor_err"])
-            age = jnp.where(better, 0,
-                            jnp.where(collapsed, st["anchor_age"],
-                                      st["anchor_age"] + 1))
-            out["anchor_age"] = age
-            out["stalled"] = out["stalled"] | (no_prog >= _PLATEAU_ITERS) \
-                | (age >= 2 * _PLATEAU_ITERS)
+            out["stalled"] = out["stalled"] | (no_prog >= _PLATEAU_ITERS)
             # Trial-polish certification (round 5): at the FIRST short
             # plateau, ask the polish whether the k pairs already
             # certify at the user's tolerance — the measured 10M
@@ -795,8 +778,11 @@ def run_state(cfg: ResolvedConfig, A: LinearOperator,
                         okc = pol.errors < cfg.tolerance
                     return jnp.all(okc)
 
+                # ~collapsed: collapse iterations FREEZE no_prog, so
+                # without the guard every collapse while the counter
+                # sits at the poll point would re-pay the polish.
                 certified = jax.lax.cond(
-                    no_prog == _POLISH_POLL_AT, _certify,
+                    (no_prog == _POLISH_POLL_AT) & ~collapsed, _certify,
                     lambda args: jnp.asarray(False),
                     (w_report[:k], X[:, :k]))
                 out["stalled"] = out["stalled"] | certified

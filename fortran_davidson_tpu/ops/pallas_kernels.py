@@ -49,12 +49,6 @@ def _lane_pad(m: int) -> int:
     return max(128, -(-m // 128) * 128)
 
 
-def _phys_lanes(mp: int) -> int:
-    """Physical VMEM lane footprint of an mp-wide buffer: tiles are 128
-    lanes wide regardless of the logical minor dimension."""
-    return max(128, -(-mp // 128) * 128)
-
-
 def _acc_dtype(operand_dtype):
     """MXU accumulator dtype: Mosaic requires 32-bit accumulation for
     sub-32-bit operands (bf16 matmuls accumulate in f32 natively)."""
@@ -383,18 +377,14 @@ def _banded_plan(nbr: int, bs: int, K: int, bw: int, mp: int,
     VMEM mapping at run time instead of taking the two-pass fallback.
     """
     budget = _VMEM_BUDGET_PURE_READ if pure_read else _VMEM_BUDGET
-    # VMEM tiles are 128 lanes wide physically: a 64-lane logical buffer
-    # (see _lane_pad) still occupies 128-lane tiles, so the budget is
-    # charged at the physical width.
-    mpp = _phys_lanes(mp)
     for R in r_tiers:
         if nbr % R or nbr < min_tiles * R or bw >= R:
             continue
         for NB in (4, 3, 2):
             W = R + 2 * bw
-            vmem = (NB * W * bs * mpp * x_item         # window ring
+            vmem = (NB * W * bs * mp * x_item          # window ring
                     + 2 * R * bs * K * bs * b_item     # block pipeline
-                    + _N_OUT_BUFFERS * R * bs * mpp * out_item  # out ring
+                    + _N_OUT_BUFFERS * R * bs * mp * out_item  # out ring
                     + gram_vmem * R                    # fused-gram v tile
                     + fixed_vmem)                      # gram accumulator
             if vmem <= budget:
@@ -420,18 +410,16 @@ def _gram_plan(nbr, bs, K, bw, m, mv, x_item, b_item, out_item, v_item,
     """
     mp = _lane_pad(m)
     mvp = _lane_pad(mv)
-    # Physical (128-lane tile) widths for the VMEM charges below.
-    mpp, mvpp = _phys_lanes(mp), _phys_lanes(mvp)
     # gram_vmem per R-row: the double-buffered pipelined v tile (absent
     # when v IS x) plus the tile's staged row results (ybuf) for the
     # single per-tile gram dot.
-    v_tile = 0 if v_is_x else 2 * mvpp * v_item
+    v_tile = 0 if v_is_x else 2 * mvp * v_item
     ybuf_item = x_item if v_is_x else v_item
     pure_read = v_is_x and out_item == 0
     r_tiers = (32, 16, 8) if pure_read else (16, 8)
     return _banded_plan(nbr, bs, K, bw, mp, x_item, b_item, out_item,
-                        gram_vmem=(v_tile + mpp * ybuf_item) * bs,
-                        fixed_vmem=mvpp * mpp * 4, r_tiers=r_tiers,
+                        gram_vmem=(v_tile + mp * ybuf_item) * bs,
+                        fixed_vmem=mvp * mp * 4, r_tiers=r_tiers,
                         pure_read=pure_read)
 
 

@@ -137,27 +137,53 @@ def _folded_solve(op, k, sigma, tol, kw):
     # boundary pair whole; the k pairs nearest σ are selected after the
     # Rayleigh-Ritz below.
     k_f = min(k + 1, op.shape[0])
+    theta = X = r = near = None
     for _ in range(4):
         res = eigensolve(fold, k_f, tolerance=fold_tol,
                          initial_vectors=x0, **kw)
-        X = jnp.asarray(res.eigenvectors)
+        Xf = jnp.asarray(res.eigenvectors)
         # Rayleigh-Ritz of A (not the fold) on the folded subspace:
         # within each near-degenerate folded pair the individual
         # eigenvectors are arbitrary rotations mixing the two
         # A-eigenvectors. The SPAN is still right; diagonalizing
-        # Q^T A Q over it separates them.
-        Q = jnp.linalg.qr(X)[0]
-        AQ = op.matmat(Q)
-        theta, U = jnp.linalg.eigh(Q.T @ AQ)
-        X, AX = Q @ U, AQ @ U
-        r = jnp.linalg.norm(AX - X * theta[None, :], axis=0)
+        # Q^T A Q over it separates them. The unfold runs at full f32
+        # matmul precision — the platform's default bf16 operand
+        # demotion would put ~1e-2-relative noise under theta and r,
+        # making the honest tol re-check below unpassable on TPU.
+        with jax.default_matmul_precision("highest"):
+            Q = jnp.linalg.qr(Xf)[0]
+            AQ = op.matmat(Q)
+            theta, U = jnp.linalg.eigh(Q.T @ AQ)
+            X, AX = Q @ U, AQ @ U
+            r = jnp.linalg.norm(AX - X * theta[None, :], axis=0)
         near = jnp.argsort(jnp.abs(theta - sigma))[:k]
         near = near[jnp.argsort(theta[near])]  # ascending, scipy order
         if bool(jnp.all(r[near] <= tol)):
             return (np.asarray(theta[near]), np.asarray(X[:, near]),
                     np.asarray(r[near]))
         x0, fold_tol = X, fold_tol * 1e-2
-    raise ArpackNoConvergence(res, k)
+    # Honest failure: expose UNFOLDED quantities (A's Rayleigh-Ritz
+    # values/vectors from the last round and their true residuals), not
+    # the folded solve's (λ-σ)² internals.
+    raise ArpackNoConvergence(
+        _UnfoldedPartial(
+            eigenvalues=np.asarray(theta[near]),
+            eigenvectors=np.asarray(X[:, near]),
+            converged_pairs=np.asarray(r[near] <= tol),
+            iterations=res.iterations,
+            residual_norms=np.asarray(r[near]),
+            fold_result=res),
+        k)
+
+
+class _UnfoldedPartial:
+    """Result-shaped view for :class:`ArpackNoConvergence` after a
+    failed spectral-fold solve: eigenvalues/vectors/residuals are in
+    A's spectrum (post Rayleigh-Ritz unfold); the raw folded-solve
+    result rides on ``.fold_result``."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
 
 
 def eigsh(A, k: int = 6, M=None, sigma=None, which: Optional[str] = None,
@@ -235,12 +261,14 @@ def eigsh(A, k: int = 6, M=None, sigma=None, which: Optional[str] = None,
 
     if which == "LM":
         # Largest magnitude = the k biggest |λ| among both spectrum
-        # ends: lowest-k of A (left end) and of -A (right end), merged.
+        # ends: lowest-k of (A, B) (left end) and of (-A, B) (right
+        # end — the flip negates pencil eigenvalues and preserves
+        # eigenvectors), merged.
         require(2 * k <= op.shape[0], InvalidOptionsError,
                 "which='LM' solves both spectrum ends (k pairs each) "
                 "and needs 2*k <= n")
-        lo = eigensolve(op, k, **kw)
-        hi = eigensolve(_Negated(op), k, **kw)
+        lo = eigensolve(op, k, second_matrix=B, **kw)
+        hi = eigensolve(_Negated(op), k, second_matrix=B, **kw)
         if not (bool(lo.converged) and bool(hi.converged)):
             raise ArpackNoConvergence(lo if not bool(lo.converged)
                                       else hi, k)

@@ -103,6 +103,18 @@ class TestEigsh:
         r = np.linalg.norm(A @ v - v * w[None, :], axis=0)
         assert np.all(r < 1e-8)
 
+    def test_which_lm_generalized_pencil(self, A):
+        # Round-5 review fix: the LM two-end merge must solve the
+        # PENCIL (A, M) — it previously dropped M silently.
+        B = np.asarray(generate_diagonal_dominant(120, 1e-3,
+                                                  diag_val=1.0))
+        w, v = eigsh(A, k=3, M=B, which="LM", tol=1e-9)
+        full = scipy.linalg.eigh(A, B, eigvals_only=True)
+        expect = np.sort(full[np.argsort(-np.abs(full))[:3]])
+        np.testing.assert_allclose(w, expect, rtol=1e-8, atol=1e-8)
+        r = np.linalg.norm(A @ v - (B @ v) * w[None, :], axis=0)
+        assert np.all(r < 1e-7)
+
     def test_which_lm_negative_end(self):
         # A spectrum straddling zero where the k largest |λ| come from
         # BOTH ends.
