@@ -657,39 +657,34 @@ def bench_northstar_10m_bsr():
                    "chip; 10M sparse runs sharded (dryrun) — see "
                    "docstring"))
 
-    # max_dim_sub: try the measured-best single-chip basis width first;
-    # fall back narrower if the int8 table + wider carries overflow HBM.
-    last_err = None
-    for md in ((44, 28) if on_tpu else (44,)):
-        loose = dict(method="DPR", tolerance=1e-3, relative_tolerance=True,
-                     dtype="float32", expansion="lowest-k",
-                     max_dim_sub=md, max_iterations=30)
-        kw = dict(loose, tolerance=1e-8, refined=True, final_polish=3,
-                  max_iterations=120)
+    # Default basis width: the resolver's memory clamp leaves the 10*k
+    # default (200) untouched at this n, and it beats the 10M-tuned 44
+    # here (measured: 1.26 s / 8 iterations vs 1.51 s / 14 — wider
+    # bases collapse less at a scale whose carries fit comfortably).
+    loose = dict(method="DPR", tolerance=1e-3, relative_tolerance=True,
+                 dtype="float32", expansion="lowest-k",
+                 max_iterations=30)
+    kw = dict(loose, tolerance=1e-8, refined=True, final_polish=3,
+              max_iterations=120)
 
-        def run():
-            l = eigensolve(op, k, **loose)
-            return eigensolve(op, k, initial_vectors=l.eigenvectors, **kw)
+    def run():
+        l = eigensolve(op, k, **loose)
+        return eigensolve(op, k, initial_vectors=l.eigenvectors, **kw)
 
-        try:
-            r = run()
-            it = int(r.iterations)
-            t0 = time.perf_counter()
-            r = run()
-            it = int(r.iterations)
-            dt = time.perf_counter() - t0
-            out.update(
-                max_dim_sub=md, wall_s=dt, iterations=it,
-                converged=bool(r.converged),
-                max_true_residual=float(np.max(np.asarray(
-                    r.residual_norms))))
-            break
-        except Exception as e:  # noqa: BLE001 — OOM at the wide basis
-            last_err = f"max_dim_sub={md}: {type(e).__name__}: " \
-                       f"{str(e)[:200]}"
-            out.setdefault("attempts", []).append(last_err)
-    else:
-        out["error"] = last_err
+    try:
+        r = run()
+        it = int(r.iterations)
+        t0 = time.perf_counter()
+        r = run()
+        it = int(r.iterations)
+        dt = time.perf_counter() - t0
+        out.update(
+            wall_s=dt, iterations=it,
+            converged=bool(r.converged),
+            max_true_residual=float(np.max(np.asarray(
+                r.residual_norms))))
+    except Exception as e:  # noqa: BLE001
+        out["error"] = f"{type(e).__name__}: {str(e)[:300]}"
         return out
 
     # Fused-gram A/B on the engine the kernel serves (round-5): the
