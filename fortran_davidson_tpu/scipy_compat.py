@@ -9,7 +9,7 @@ users migrating a scipy workflow get the same call shape here:
 
 Supported: symmetric/Hermitian-real operators (dense arrays,
 ``scipy.sparse`` matrices, any :class:`LinearOperator` of this package),
-generalized pencils via ``M``, ``which in ("SA", "LA", "LM", "SM")``,
+generalized pencils via ``M``, ``which in ("SA", "LA", "LM", "SM", "BE")``,
 ``sigma`` interior targets, ``v0`` warm starts,
 ``maxiter``/``tol``/``ncv``.
 
@@ -228,9 +228,9 @@ def eigsh(A, k: int = 6, M=None, sigma=None, which: Optional[str] = None,
         # smallest-algebraic is this package's default, with sigma the
         # nearest-σ reading is the only sensible one.
         which = "LM" if sigma is not None else "SA"
-    require(which in ("SA", "LA", "LM", "SM"), InvalidOptionsError,
-            f"which={which!r} not supported (use 'SA', 'LA', 'LM' or "
-            "'SM')")
+    require(which in ("SA", "LA", "LM", "SM", "BE"), InvalidOptionsError,
+            f"which={which!r} not supported (use 'SA', 'LA', 'LM', 'SM' "
+            "or 'BE')")
     op = as_operator(A, dtype=dtype)
     B = None if M is None else as_operator(M, dtype=dtype)
 
@@ -259,24 +259,32 @@ def eigsh(A, k: int = 6, M=None, sigma=None, which: Optional[str] = None,
                                 tol_eff, kw)
         return (w, v) if return_eigenvectors else w
 
-    if which == "LM":
-        # Largest magnitude = the k biggest |λ| among both spectrum
-        # ends: lowest-k of (A, B) (left end) and of (-A, B) (right
-        # end — the flip negates pencil eigenvalues and preserves
-        # eigenvectors), merged.
-        require(2 * k <= op.shape[0], InvalidOptionsError,
-                "which='LM' solves both spectrum ends (k pairs each) "
-                "and needs 2*k <= n")
-        lo = eigensolve(op, k, second_matrix=B, **kw)
-        hi = eigensolve(_Negated(op), k, second_matrix=B, **kw)
+    if which in ("LM", "BE"):
+        # Both-ends solves: lowest of (A, B) (left end) and of (-A, B)
+        # (right end — the flip negates pencil eigenvalues and
+        # preserves eigenvectors). "LM" keeps the k largest |λ| of the
+        # merged set; "BE" keeps half from each end, odd k giving the
+        # extra pair to the HIGH end (scipy's convention).
+        k_lo = k if which == "LM" else k // 2
+        k_hi = k if which == "LM" else -(-k // 2)
+        require(k_lo + k_hi <= op.shape[0], InvalidOptionsError,
+                f"which={which!r} solves both spectrum ends and needs "
+                "their pair counts to fit n")
+        lo = eigensolve(op, max(k_lo, 1), second_matrix=B, **kw)
+        hi = eigensolve(_Negated(op), max(k_hi, 1), second_matrix=B,
+                        **kw)
         if not (bool(lo.converged) and bool(hi.converged)):
             raise ArpackNoConvergence(lo if not bool(lo.converged)
                                       else hi, k)
-        w = np.concatenate([np.asarray(lo.eigenvalues),
-                            -np.asarray(hi.eigenvalues)])
-        v = np.concatenate([np.asarray(lo.eigenvectors),
-                            np.asarray(hi.eigenvectors)], axis=1)
-        keep = np.argsort(-np.abs(w), kind="stable")[:k]
+        w = np.concatenate([np.asarray(lo.eigenvalues)[:k_lo],
+                            -np.asarray(hi.eigenvalues)[:k_hi]])
+        v = np.concatenate([np.asarray(lo.eigenvectors)[:, :k_lo],
+                            np.asarray(hi.eigenvectors)[:, :k_hi]],
+                           axis=1)
+        if which == "LM":
+            keep = np.argsort(-np.abs(w), kind="stable")[:k]
+        else:
+            keep = np.arange(w.size)
         keep = keep[np.argsort(w[keep], kind="stable")]  # ascending
         return (w[keep], v[:, keep]) if return_eigenvectors else w[keep]
 

@@ -134,3 +134,22 @@ class TestEigsh:
         e = exc.value
         assert e.result is not None
         assert e.eigenvalues.shape[0] == e.eigenvectors.shape[1]
+
+
+class TestWhichBE:
+    def test_both_ends_matches_scipy(self):
+        A = np.asarray(generate_diagonal_dominant(120, 1e-3))
+        w, v = eigsh(A, k=5, which="BE", tol=1e-9)
+        ws = scipy.sparse.linalg.eigsh(A, k=5, which="BE")[0]
+        np.testing.assert_allclose(w, np.sort(ws), atol=1e-7)
+        r = np.linalg.norm(A @ v - v * w[None, :], axis=0)
+        assert np.all(r < 1e-8)
+
+    def test_both_ends_generalized(self):
+        A = np.asarray(generate_diagonal_dominant(100, 1e-3))
+        B = np.asarray(generate_diagonal_dominant(100, 1e-3,
+                                                  diag_val=1.0))
+        w, v = eigsh(A, k=4, M=B, which="BE", tol=1e-9)
+        full = scipy.linalg.eigh(A, B, eigvals_only=True)
+        expect = np.sort(np.concatenate([full[:2], full[-2:]]))
+        np.testing.assert_allclose(w, expect, rtol=1e-8, atol=1e-8)
