@@ -25,6 +25,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10_000_384)
     ap.add_argument("--layout", default="auto")
+    ap.add_argument("--lowest", type=int, default=4)
+    ap.add_argument("--warm", action="store_true", help="progressive: loose solve warm-starts the traced refined solve")
     ap.add_argument("--dir", default="/tmp/jaxtrace")
     args = ap.parse_args()
 
@@ -36,13 +38,21 @@ def main():
               dtype="float32", refined=True, final_polish=3,
               expansion="lowest-k", max_iterations=60,
               carry_layout=args.layout)
-    r = eigensolve(op, 4, **kw)          # compile + warm
+    x0 = None
+    if args.warm:
+        l = eigensolve(op, args.lowest, method="DPR", tolerance=1e-3,
+                       relative_tolerance=True, dtype="float32",
+                       expansion="lowest-k", max_iterations=30)
+        int(l.iterations)
+        x0 = l.eigenvectors
+        kw["initial_vectors"] = x0
+    r = eigensolve(op, args.lowest, **kw)          # compile + warm
     iters = int(r.iterations)
     print(f"warm: iters={iters} converged={bool(r.converged)}",
           flush=True)
 
     jax.profiler.start_trace(args.dir)
-    r = eigensolve(op, 4, **kw)
+    r = eigensolve(op, args.lowest, **kw)
     iters = int(r.iterations)            # host fetch forces completion
     jax.profiler.stop_trace()
 
